@@ -1,0 +1,556 @@
+"""The Ray-Data crawl pipeline: round-based frontier expansion + ordering
+replay + checkpoint/resume (rebuild of simple_crawler's main.py event loop,
+SURVEY §3.4).
+
+Per round r (all heavy work distributed, driver holds URL metadata only):
+
+  frontier_r (url, host, depth, parent)
+    → politeness gate: robots Disallow → 403 rows; token-bucket over
+      crawl_delay → deferred rows (stages/politeness.py)
+    → "fetch" = pruned read of ONLY the corpus hash-buckets containing
+      frontier URLs + broadcast semi-join filter (sources/pages.py — never
+      a full corpus scan per round)
+    → fused extract: links (document order, same-domain) + golden text
+      (stages/extract.py, zero-copy Arrow actor pool)
+    → misses (allowed - found) → 404/ERROR rows
+    → candidates: explode outlinks → sharded Bloom+exact seen-set actors
+      admit first-seen (stages/extract.CandidateStage)
+    → frontier_{r+1} = deferred ∪ newly admitted
+    → checkpoint epoch r: results Parquet + frontier segment Parquet +
+      seen-shard snapshots + metrics manifest (resumable; north_rule)
+
+The ordering replay (pipelines/replay.py) advances after each round over
+adjacency metadata and decides termination under the page budget; final
+outputs (crawl_order, seen set, urls_out) carry the serial-equivalent
+reference semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from ..functions.robots import RulesIndex
+from ..functions.sitemaps import SitemapResult
+from ..functions.urlkit import host_of, url_sha1
+from ..schemas import CrawlStatus
+from ..sources.pages import bucket_files_for, ensure_bucketed, url_bucket
+from ..stages.extract import crawl_round_batch
+from ..stages.politeness import politeness_gate
+from ..state.seen import ShardedSeenSet
+from .replay import OrderingReplay
+from .serial_oracle import seed_frontier
+
+__all__ = ["CrawlConfig", "CrawlResult", "crawl"]
+
+_META_SCHEMA = pa.schema(
+    [
+        ("kind", pa.string()),
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("depth", pa.int32()),
+        ("parent_url", pa.string()),
+        ("linked_urls", pa.list_(pa.string())),
+    ]
+)
+
+
+@dataclass
+class CrawlConfig:
+    corpus_dir: str  # directory containing pages.parquet
+    out_dir: str  # run directory (outputs + checkpoints)
+    seed_urls: list[str]
+    max_pages: int | None = None  # None → crawl to exhaustion
+    use_sitemap: bool = True
+    run_id: str = "run0"
+    num_buckets: int = 32
+    num_seen_shards: int = 8
+    round_seconds: float | None = None  # None → politeness token bucket off
+    keep_html: bool = True  # carry html → urls_out.content (reference parity)
+    batch_size: int = 256
+    max_fetch_per_round: int | None = None  # cap speculative fetch per round
+    resume: bool = False
+    max_rounds: int = 1000
+
+
+@dataclass
+class CrawlResult:
+    out_dir: str
+    order: pa.Table  # CRAWL_ORDER_SCHEMA
+    seen: pa.Table  # SEEN_SCHEMA
+    metrics: dict
+    rounds: int
+    sitemaps: SitemapResult = field(default_factory=SitemapResult)
+
+
+def _load_rules(pages_path: str) -> RulesIndex:
+    """Parse robots.txt ONCE per host from the corpus (the reference
+    re-fetches per URL — downloader.py:24-34; SURVEY §2.1 S3)."""
+    t = (
+        pads.dataset(pages_path)
+        .to_table(
+            columns=["url", "html"],
+            filter=pc.ends_with(pc.field("url"), pattern="/robots.txt"),
+        )
+    )
+    robots = {
+        host_of(u): h.decode("utf-8", errors="replace")
+        for u, h in zip(t["url"].to_pylist(), t["html"].to_pylist())
+    }
+    return RulesIndex(robots)
+
+
+class _BucketLookup:
+    """Driver-side point lookups into the bucketed corpus (sitemap seeding
+    only — a handful of docs per seed host; mapper.py:36-52 request_page)."""
+
+    def __init__(self, bucket_dir: str, num_buckets: int):
+        self.bucket_dir = bucket_dir
+        self.num_buckets = num_buckets
+
+    def __call__(self, url: str) -> str | None:
+        files = bucket_files_for(self.bucket_dir, {url_bucket(url, self.num_buckets)})
+        if not files:
+            return None
+        t = pads.dataset(files).to_table(
+            columns=["url", "html"], filter=pc.field("url") == url
+        )
+        if t.num_rows == 0:
+            return None
+        return t["html"][0].as_py().decode("utf-8", errors="replace")
+
+
+def _frontier_table(rows: list[tuple[str, int, str]]) -> pa.Table:
+    return pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "host": pa.array([host_of(r[0]) for r in rows], pa.string()),
+            "depth": pa.array([r[1] for r in rows], pa.int32()),
+            "parent_url": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+
+
+def _empty_frontier() -> pa.Table:
+    return _frontier_table([])
+
+
+def _closed_rows_table(
+    frontier_rows: pa.Table, req_status: int, crawl_status: int
+) -> pa.Table:
+    n = frontier_rows.num_rows
+    return pa.table(
+        {
+            "url": frontier_rows["url"],
+            "host": frontier_rows["host"],
+            "depth": frontier_rows["depth"],
+            "parent_url": frontier_rows["parent_url"],
+            "req_status": pa.array([req_status] * n, pa.int32()),
+            "crawl_status": pa.array([crawl_status] * n, pa.int8()),
+        }
+    )
+
+
+def _round_dir(out_dir: str, r: int) -> str:
+    return os.path.join(out_dir, "rounds", f"round={r}")
+
+
+def crawl(cfg: CrawlConfig) -> CrawlResult:
+    t_start = time.perf_counter()
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    pages_path = os.path.join(cfg.corpus_dir, "pages.parquet")
+
+    # one-time corpus bucketing (resumable; shared across runs of a corpus)
+    bucket_dir = ensure_bucketed(
+        pages_path,
+        os.path.join(cfg.corpus_dir, f"buckets{cfg.num_buckets}"),
+        cfg.num_buckets,
+    )
+
+    rules = _load_rules(pages_path)
+    rules_ref = ray.put(rules)  # broadcast once; read per actor, not per batch
+
+    # sitemap-first seeding (deterministic; shared code with the oracle)
+    lookup = _BucketLookup(bucket_dir, cfg.num_buckets)
+    seeds, sitemap_result = seed_frontier(
+        cfg.seed_urls, _DictLikeLookup(lookup), rules, cfg.use_sitemap
+    )
+
+    replay = OrderingReplay(seeds, cfg.max_pages)
+    seen_set = ShardedSeenSet(num_shards=cfg.num_seen_shards)
+    adjacency: dict[str, tuple[int, int, list[str]]] = {}
+    metrics: dict = {"rounds": [], "totals": {}}
+    start_round = 0
+    frontier = _frontier_table([(u, 0, "") for u in seeds])
+    # seed admission (SADD on seed, cache.py:91-97 via main.py:33)
+    seen_set.admit(frontier["url"].to_pylist())
+
+    if cfg.resume:
+        resumed = _try_resume(cfg, seen_set, adjacency, metrics)
+        if resumed is not None:
+            start_round, frontier = resumed
+            replay.advance(adjacency)
+
+    r = start_round
+    while r < cfg.max_rounds:
+        round_t0 = time.perf_counter()
+        rdir = _round_dir(cfg.out_dir, r)
+        os.makedirs(rdir, exist_ok=True)
+
+        # ---- politeness gate (robots + token bucket) --------------------
+        gate = politeness_gate(frontier, rules, cfg.round_seconds)
+        allowed, deferred = gate.allowed, gate.deferred
+        if cfg.max_fetch_per_round and allowed.num_rows > cfg.max_fetch_per_round:
+            # keep the most recently admitted rows (DFS locality: the tail
+            # of the frontier is what the LIFO replay needs first);
+            # the rest carries over — scheduling only, never drops URLs
+            k = cfg.max_fetch_per_round
+            head = allowed.slice(0, allowed.num_rows - k)
+            allowed = allowed.slice(allowed.num_rows - k)
+            deferred = pa.concat_tables([head, deferred])
+
+        disallowed_t = _closed_rows_table(
+            gate.disallowed, 403, int(CrawlStatus.DISALLOWED)
+        )
+
+        # ---- fetch (pruned bucket read + broadcast semi-join) + extract
+        # + persist + candidates — ONE fused Ray Data execution per round
+        allowed_urls = allowed["url"].to_pylist()
+        fetched_tbl = None
+        new_frontier_tbl = _empty_frontier()
+        candidates_admitted = 0
+        if allowed_urls:
+            buckets = {url_bucket(u, cfg.num_buckets) for u in allowed_urls}
+            files = bucket_files_for(bucket_dir, buckets)
+            url_set_ref = ray.put(set(allowed_urls))
+            depth_ref = ray.put(
+                dict(zip(allowed_urls, allowed["depth"].to_pylist()))
+            )
+            fetched_out = os.path.join(rdir, "fetched")
+            if os.path.isdir(fetched_out):  # stale partial round (pre-crash)
+                import shutil
+
+                shutil.rmtree(fetched_out)
+            meta_ds = rd.read_parquet(files, columns=["url", "html"]).map_batches(
+                crawl_round_batch,
+                fn_kwargs={
+                    "url_set_ref": url_set_ref,
+                    "depth_ref": depth_ref,
+                    "seen_set": seen_set,
+                    "out_dir": fetched_out,
+                    "keep_html": cfg.keep_html,
+                },
+                batch_format="pyarrow",
+                batch_size=cfg.batch_size,
+            )
+            meta_tbl = _to_table(meta_ds, _META_SCHEMA)
+            is_page = pc.equal(meta_tbl["kind"], "page")
+            fetched_tbl = meta_tbl.filter(is_page).select(["url", "linked_urls"])
+            new_frontier_tbl = meta_tbl.filter(pc.invert(is_page)).select(
+                ["url", "host", "depth", "parent_url"]
+            )
+            candidates_admitted = new_frontier_tbl.num_rows
+
+        # ---- misses → ERROR rows (reference downloader error path) ------
+        found = set(fetched_tbl["url"].to_pylist()) if fetched_tbl is not None else set()
+        miss_mask = pa.array([u not in found for u in allowed_urls])
+        missed_t = _closed_rows_table(
+            allowed.filter(miss_mask), 404, int(CrawlStatus.ERROR)
+        )
+
+        closed_t = pa.concat_tables([disallowed_t, missed_t])
+        if closed_t.num_rows:
+            pq.write_table(closed_t, os.path.join(rdir, "closed.parquet"))
+
+        # ---- update adjacency + replay ----------------------------------
+        total_links = 0
+        if fetched_tbl is not None:
+            for u, links in zip(
+                fetched_tbl["url"].to_pylist(), fetched_tbl["linked_urls"].to_pylist()
+            ):
+                adjacency[u] = (int(CrawlStatus.PARSED), 200, links or [])
+                total_links += len(links or [])
+        for u, st in zip(
+            closed_t["url"].to_pylist(), closed_t["crawl_status"].to_pylist()
+        ):
+            req = 403 if st == int(CrawlStatus.DISALLOWED) else 404
+            adjacency[u] = (int(st), req, [])
+
+        state = replay.advance(adjacency)
+
+        # ---- next frontier + checkpoint ---------------------------------
+        frontier = (
+            pa.concat_tables([deferred, new_frontier_tbl])
+            if deferred.num_rows
+            else new_frontier_tbl
+        )
+        pq.write_table(frontier, os.path.join(rdir, "frontier.parquet"))
+        seen_dir = os.path.join(rdir, "seen")
+        os.makedirs(seen_dir, exist_ok=True)
+        for i, snap in enumerate(seen_set.snapshots()):
+            with open(os.path.join(seen_dir, f"shard{i}.bin"), "wb") as f:
+                f.write(snap)
+
+        round_metrics = {
+            "round": r,
+            "fetched": len(found),
+            "errors": int(missed_t.num_rows),
+            "disallowed": int(disallowed_t.num_rows),
+            "deferred": int(deferred.num_rows),
+            "admitted_new": int(candidates_admitted),
+            "deduped": int(total_links - candidates_admitted),
+            "frontier_next": int(frontier.num_rows),
+            "wall_sec": round(time.perf_counter() - round_t0, 4),
+        }
+        metrics["rounds"].append(round_metrics)
+        with open(os.path.join(rdir, "manifest.json"), "w") as f:
+            json.dump({"complete": True, "metrics": round_metrics}, f)
+
+        r += 1
+        if state == "done" and replay.done():
+            break
+        if frontier.num_rows == 0:
+            # exhaustion: adjacency is complete, replay must finish now
+            replay.advance(adjacency)
+            break
+
+    # ---- final outputs ---------------------------------------------------
+    order_t = pa.table(
+        {
+            "seq": pa.array([o[0] for o in replay.order], pa.int64()),
+            "url": pa.array([o[1] for o in replay.order], pa.string()),
+            "depth": pa.array([o[2] for o in replay.order], pa.int32()),
+            "parent_url": pa.array([o[3] for o in replay.order], pa.string()),
+            "req_status": pa.array([o[4] for o in replay.order], pa.int32()),
+            "crawl_status": pa.array([o[5] for o in replay.order], pa.int8()),
+        }
+    )
+    seen_t = pa.table(
+        {
+            "url": pa.array(replay.seen_order, pa.string()),
+            "url_sha1": pa.array([url_sha1(u) for u in replay.seen_order], pa.binary()),
+        }
+    )
+    pq.write_table(order_t, os.path.join(cfg.out_dir, "crawl_order.parquet"))
+    pq.write_table(seen_t, os.path.join(cfg.out_dir, "seen.parquet"))
+    _write_sitemaps_out(cfg, sitemap_result)
+    _write_urls_out(cfg, order_t)
+
+    totals = {
+        "visited": len(replay.order),
+        "seen": len(replay.seen_order),
+        "fetched": sum(m["fetched"] for m in metrics["rounds"]),
+        "errors": sum(m["errors"] for m in metrics["rounds"]),
+        "disallowed": sum(m["disallowed"] for m in metrics["rounds"]),
+        "deferred_events": sum(m["deferred"] for m in metrics["rounds"]),
+        "rounds": len(metrics["rounds"]),
+        "wall_sec": round(time.perf_counter() - t_start, 4),
+    }
+    totals["pages_per_sec"] = round(totals["fetched"] / max(totals["wall_sec"], 1e-9), 2)
+    metrics["totals"] = totals
+    with open(os.path.join(cfg.out_dir, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+
+    return CrawlResult(
+        out_dir=cfg.out_dir,
+        order=order_t,
+        seen=seen_t,
+        metrics=metrics,
+        rounds=len(metrics["rounds"]),
+        sitemaps=sitemap_result,
+    )
+
+
+class _DictLikeLookup:
+    """Adapts a callable lookup to the dict-like .get() the seeding uses."""
+
+    def __init__(self, fn):
+        self._fn = fn
+
+    def get(self, url: str):
+        return self._fn(url)
+
+
+def _to_table(ds: "rd.Dataset", empty_schema: pa.Schema) -> pa.Table:
+    tables = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return empty_schema.empty_table()
+    return pa.concat_tables(tables, promote_options="permissive")
+
+
+def _write_sitemaps_out(cfg: CrawlConfig, sm: SitemapResult) -> None:
+    """Reference `sitemaps` table shape (config/sqlite.yml:60-95)."""
+    seed = cfg.seed_urls[0] if cfg.seed_urls else ""
+    rows = sm.details
+    t = pa.table(
+        {
+            "run_id": pa.array([cfg.run_id] * len(rows), pa.string()),
+            "seed_url": pa.array([seed] * len(rows), pa.string()),
+            "url": pa.array([r.get("source_url") for r in rows], pa.string()),
+            "index_url": pa.array([r.get("index") for r in rows], pa.string()),
+            "loc": pa.array([r.get("loc") for r in rows], pa.string()),
+            "priority": pa.array([r.get("priority") for r in rows], pa.string()),
+            "frequency": pa.array([r.get("changefreq") for r in rows], pa.string()),
+            "modified": pa.array([r.get("modified") for r in rows], pa.string()),
+            "status": pa.array([r.get("status") for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(cfg.out_dir, "sitemaps.parquet"))
+
+
+def _write_urls_out(cfg: CrawlConfig, order_t: pa.Table) -> None:
+    """Final `urls_out` table (reference `urls`, config/sqlite.yml:29-58):
+    replay-visited pages joined with their fetched content — a broadcast
+    semi-join over the accumulated round results (distributed write)."""
+    import glob as _glob
+
+    visited_meta = {
+        u: (int(rq), int(st), d, p)
+        for u, rq, st, d, p in zip(
+            order_t["url"].to_pylist(),
+            order_t["req_status"].to_pylist(),
+            order_t["crawl_status"].to_pylist(),
+            order_t["depth"].to_pylist(),
+            order_t["parent_url"].to_pylist(),
+        )
+    }
+    seed = cfg.seed_urls[0] if cfg.seed_urls else ""
+    run_id = cfg.run_id
+    created_at = int(time.time())
+    fetched_dirs = sorted(
+        _glob.glob(os.path.join(cfg.out_dir, "rounds", "round=*", "fetched", "*.parquet"))
+    )
+    out_path = os.path.join(cfg.out_dir, "urls_out")
+    if os.path.isdir(out_path):  # idempotent re-write (e.g. after resume)
+        import shutil
+
+        shutil.rmtree(out_path)
+    meta_ref = ray.put(visited_meta)
+
+    if fetched_dirs:
+        def to_urls_out(batch: pa.Table, meta=meta_ref) -> pa.Table:
+            m = ray.get(meta) if isinstance(meta, ray.ObjectRef) else meta
+            keep = pa.array([u in m for u in batch["url"].to_pylist()])
+            batch = batch.filter(keep)
+            urls = batch["url"].to_pylist()
+            n = len(urls)
+            content = (
+                batch["html"]
+                if "html" in batch.schema.names
+                else pa.array([None] * n, pa.binary())
+            )
+            return pa.table(
+                {
+                    "run_id": pa.array([run_id] * n, pa.string()),
+                    "seed_url": pa.array([seed] * n, pa.string()),
+                    "url": batch["url"],
+                    "content": content,
+                    "req_status": pa.array([m[u][0] for u in urls], pa.int32()),
+                    "crawl_status": pa.array(
+                        [m[u][1] for u in urls], pa.int8()
+                    ),
+                    "linked_urls": batch["linked_urls"],
+                    "created_at": pa.array([created_at] * n, pa.timestamp("s")),
+                }
+            )
+
+        ds = rd.read_parquet(fetched_dirs).map_batches(
+            to_urls_out, batch_format="pyarrow"
+        )
+        ds.write_parquet(out_path)
+
+    # closed (error/disallowed) visited rows have no fetched content
+    closed = [
+        (u, rq, st)
+        for u, (rq, st, _, _) in visited_meta.items()
+        if st != int(CrawlStatus.PARSED)
+    ]
+    if closed:
+        n = len(closed)
+        t = pa.table(
+            {
+                "run_id": pa.array([run_id] * n, pa.string()),
+                "seed_url": pa.array([seed] * n, pa.string()),
+                "url": pa.array([c[0] for c in closed], pa.string()),
+                "content": pa.array([None] * n, pa.binary()),
+                "req_status": pa.array([c[1] for c in closed], pa.int32()),
+                "crawl_status": pa.array([c[2] for c in closed], pa.int8()),
+                "linked_urls": pa.array([None] * n, pa.list_(pa.string())),
+                "created_at": pa.array([created_at] * n, pa.timestamp("s")),
+            }
+        )
+        os.makedirs(out_path, exist_ok=True)
+        pq.write_table(t, os.path.join(out_path, "closed_rows.parquet"))
+
+
+def _try_resume(
+    cfg: CrawlConfig,
+    seen_set: ShardedSeenSet,
+    adjacency: dict,
+    metrics: dict,
+) -> tuple[int, pa.Table] | None:
+    """Restore from the latest complete round checkpoint: frontier segment,
+    seen-shard snapshots, adjacency re-read from round results (the replay
+    is a pure function of adjacency, so it just re-advances)."""
+    import glob as _glob
+
+    rounds_root = os.path.join(cfg.out_dir, "rounds")
+    complete: list[int] = []
+    for mpath in _glob.glob(os.path.join(rounds_root, "round=*", "manifest.json")):
+        try:
+            with open(mpath) as f:
+                man = json.load(f)
+            if man.get("complete"):
+                rnum = int(os.path.basename(os.path.dirname(mpath)).split("=")[1])
+                complete.append(rnum)
+                metrics["rounds"].append(man["metrics"])
+        except Exception:
+            continue
+    if not complete:
+        return None
+    last = max(complete)
+    metrics["rounds"] = sorted(metrics["rounds"], key=lambda m: m["round"])[: last + 1]
+
+    # wipe partial state of any round after the last complete checkpoint
+    import shutil
+
+    for d in _glob.glob(os.path.join(rounds_root, "round=*")):
+        try:
+            rnum = int(os.path.basename(d).split("=")[1])
+        except ValueError:
+            continue
+        if rnum > last:
+            shutil.rmtree(d, ignore_errors=True)
+
+    for rn in range(last + 1):
+        rdir = _round_dir(cfg.out_dir, rn)
+        fdir = os.path.join(rdir, "fetched")
+        if os.path.isdir(fdir):
+            t = pads.dataset(fdir).to_table(columns=["url", "linked_urls"])
+            for u, links in zip(t["url"].to_pylist(), t["linked_urls"].to_pylist()):
+                adjacency[u] = (int(CrawlStatus.PARSED), 200, links or [])
+        cpath = os.path.join(rdir, "closed.parquet")
+        if os.path.exists(cpath):
+            t = pq.read_table(cpath)
+            for u, st in zip(t["url"].to_pylist(), t["crawl_status"].to_pylist()):
+                req = 403 if st == int(CrawlStatus.DISALLOWED) else 404
+                adjacency[u] = (int(st), req, [])
+
+    snaps = []
+    seen_dir = os.path.join(_round_dir(cfg.out_dir, last), "seen")
+    for i in range(cfg.num_seen_shards):
+        with open(os.path.join(seen_dir, f"shard{i}.bin"), "rb") as f:
+            snaps.append(f.read())
+    seen_set.restore(snaps)
+    frontier = pq.read_table(os.path.join(_round_dir(cfg.out_dir, last), "frontier.parquet"))
+    return last + 1, frontier

@@ -1,0 +1,79 @@
+"""Page-corpus source: one-time hash-bucketing + pruned point-lookup reads.
+
+"Fetch" in the rebuild is a lookup of frontier URLs in the Parquet page
+corpus (the stand-in for live HTTP GET, SURVEY §2.4 J3). A naive
+frontier ⋈ corpus join would scan the full corpus EVERY round — at 100 TB
+that is the difference between an O(frontier) round and an O(corpus) round.
+
+So the corpus is bucketed ONCE by ``sha1(canonicalize(url))[:4] % B`` into B
+Parquet files (a Ray Data job: add bucket column → write partitioned), and
+each round reads ONLY the bucket files containing frontier URLs, filtering
+batches against a broadcast (``ray.put``) frontier URL set inside
+``map_batches`` — a broadcast semi-join, no shuffle (ray_guide: joins).
+
+The bucket layout is also the resumable unit: bucketing is skipped when the
+``_BUCKETS_OK`` manifest exists.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import pyarrow as pa
+
+from ..functions.urlkit import canonicalize
+
+__all__ = ["url_bucket", "bucket_array", "ensure_bucketed", "bucket_files_for"]
+
+
+def url_bucket(url: str, num_buckets: int) -> int:
+    d = hashlib.sha1(canonicalize(url).encode("utf-8")).digest()
+    return int.from_bytes(d[:4], "big") % num_buckets
+
+
+def bucket_array(urls: pa.ChunkedArray | pa.Array, num_buckets: int) -> pa.Array:
+    return pa.array(
+        [url_bucket(u, num_buckets) for u in urls.to_pylist()], pa.int32()
+    )
+
+
+def ensure_bucketed(
+    pages_path: str, out_dir: str, num_buckets: int = 32
+) -> str:
+    """Bucket the corpus once. Returns the bucket directory.
+
+    Runs as a Ray Data pipeline (streaming; never materializes the corpus):
+    read → add bucket column → write Parquet partitioned by bucket.
+    """
+    import ray.data as rd
+
+    marker = os.path.join(out_dir, "_BUCKETS_OK")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column("bucket", bucket_array(batch["url"], num_buckets))
+
+    ds = rd.read_parquet(pages_path)
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow")
+    ds.write_parquet(out_dir, partition_cols=["bucket"])
+    with open(marker, "w") as f:
+        json.dump({"num_buckets": num_buckets, "source": pages_path}, f)
+    return out_dir
+
+
+def bucket_files_for(
+    bucket_dir: str, buckets: set[int]
+) -> list[str]:
+    """Parquet paths for the given bucket ids (hive-partitioned layout)."""
+    paths: list[str] = []
+    for b in sorted(buckets):
+        d = os.path.join(bucket_dir, f"bucket={b}")
+        if os.path.isdir(d):
+            paths.extend(
+                os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+            )
+    return paths
