@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship crawl pipeline on the sf0.001-scale synthetic
+web corpus; ``queries()`` exposes every implemented operator/pipeline from
+SURVEY.md §2 plus the training-data ops (dedup / similarity / text
+analysis / multimodal plumbing); ``oracle_sql()`` gives the exact DuckDB
+equivalent for every SQL-expressible query (crawl + LSH/SimHash pipelines
+are rows-only by nature; their exact conformance gates live in tests/).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (nor in simple_crawler_ray) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +16,244 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from simple_crawler_ray.pipelines import crawl_queries as cq
+from simple_crawler_ray.pipelines import dedup as dd
+from simple_crawler_ray.pipelines import events as ev
+from simple_crawler_ray.pipelines import multimodal as mm
+from simple_crawler_ray.pipelines import relational as rel
+from simple_crawler_ray.pipelines import similarity as sim
+from simple_crawler_ray.pipelines import textops as tx
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: full crawl of the sf0.001 synthetic web corpus
+    (frontier rounds → politeness → pruned fetch → extract → sharded dedup
+    → ordering replay). Returns the crawl-order table (stable schema)."""
+    return cq.c1_crawl_order("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # -- crawl engine (rows-only; exact parity enforced in tests/) ----
+        "c1_crawl_order": cq.c1_crawl_order,
+        "c2_crawl_seen": cq.c2_crawl_seen,
+        "c3_crawl_urls_out": cq.c3_crawl_urls_out,
+        "c4_sitemaps_out": cq.c4_sitemaps_out,
+        # -- relational operator surface ----------------------------------
+        "q1_pricing_summary": rel.q1_pricing_summary,
+        "q2_topk_orders": rel.q2_topk_orders,
+        "q3_segment_revenue": rel.q3_segment_revenue,
+        "q4_priority_revenue": rel.q4_priority_revenue,
+        "q5_region_acctbal": rel.q5_region_acctbal,
+        "q6_forecast_revenue": rel.q6_forecast_revenue,
+        "q7_distinct_event_types": rel.q7_distinct_event_types,
+        "q8_hourly_events": rel.q8_hourly_events,
+        "q9_union_counts": rel.q9_union_counts,
+        # -- text analysis -------------------------------------------------
+        "t1_token_stats": tx.t1_token_stats,
+        "t2_quality_score": tx.t2_quality_score,
+        "t3_langid": tx.t3_langid,
+        "t4_fingerprint": tx.t4_fingerprint,
+        # -- dedup family --------------------------------------------------
+        "d1_exact_dedup": dd.d1_exact_dedup,
+        "d2_minhash_lsh": dd.d2_minhash_lsh,
+        "d3_simhash": dd.d3_simhash,
+        "d4_ngram_jaccard_pairs": dd.d4_ngram_jaccard_pairs,
+        # -- similarity search --------------------------------------------
+        "s1_knn_bruteforce": sim.s1_knn_bruteforce,
+        "s2_ann_lsh": sim.s2_ann_lsh,
+        # -- stream-shaped + multimodal plumbing --------------------------
+        "e1_sessionize": ev.e1_sessionize,
+        "m1_binary_features": mm.m1_binary_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q2_topk_orders": """
+            SELECT o_orderkey, o_totalprice, o_orderdate
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 10
+        """,
+        "q3_segment_revenue": """
+            SELECT c_mktsegment,
+                   round(sum(o_totalprice), 2) AS total_revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "q4_priority_revenue": """
+            SELECT o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "q5_region_acctbal": """
+            SELECT r_name,
+                   round(sum(c_acctbal), 2) AS total_acctbal,
+                   count(*) AS n_customers
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "q6_forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.03 AND 0.07
+              AND l_quantity < 24
+        """,
+        "q7_distinct_event_types": """
+            SELECT DISTINCT event_type FROM events
+        """,
+        "q8_hourly_events": """
+            SELECT event_type,
+                   CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events
+            GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "q9_union_counts": """
+            SELECT event_type, count(*) AS n
+            FROM (
+                SELECT event_type FROM events WHERE value > 50.0
+                UNION ALL
+                SELECT event_type FROM events WHERE event_type = 'error'
+            )
+            GROUP BY event_type
+        """,
+        "t1_token_stats": r"""
+            SELECT lang,
+                   count(*) AS n_docs,
+                   CAST(sum(array_length(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+                       AS total_tokens
+            FROM documents
+            GROUP BY lang
+        """,
+        "t2_quality_score": r"""
+            SELECT doc_id,
+                   n_chars, n_tokens, n_punct,
+                   CASE WHEN n_tokens >= 20 AND n_chars >= 100 THEN 1 ELSE 0 END
+                       AS is_quality
+            FROM (
+                SELECT doc_id,
+                       CAST(length(text) AS BIGINT) AS n_chars,
+                       CAST(array_length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                           AS n_tokens,
+                       CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct
+                FROM documents
+            )
+        """,
+        "t3_langid": r"""
+            SELECT doc_id,
+                   CASE WHEN en = 0 AND de = 0 AND fr = 0 THEN 'unknown'
+                        WHEN fr > en AND fr > de THEN 'fr'
+                        WHEN de > en THEN 'de'
+                        ELSE 'en' END AS lang_pred
+            FROM (
+                SELECT doc_id,
+                       len(regexp_extract_all(lower(text), '\b(the|a|and|of)\b')) AS en,
+                       len(regexp_extract_all(lower(text), '\b(der|und|die|das)\b')) AS de,
+                       len(regexp_extract_all(lower(text), '\b(le|la|et|les)\b')) AS fr
+                FROM documents
+            )
+        """,
+        "t4_fingerprint": """
+            SELECT doc_id, md5(text) AS fingerprint FROM documents
+        """,
+        "d1_exact_dedup": """
+            SELECT md5(text) AS content_md5,
+                   min(doc_id) AS canonical_doc_id,
+                   count(*) AS n_copies
+            FROM (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+            )
+            GROUP BY md5(text)
+        """,
+        "d4_ngram_jaccard_pairs": r"""
+            WITH words AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                FROM documents WHERE doc_id < 100
+            ),
+            nums AS (SELECT CAST(range AS BIGINT) AS i FROM range(1, 2000)),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS shingle
+                FROM words JOIN nums ON i <= len(w) - 2
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, jaccard
+            FROM (
+                SELECT doc_a, doc_b,
+                       round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+            )
+            WHERE jaccard >= 0.01
+        """,
+        "s1_knn_bruteforce": """
+            WITH q AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+                FROM embeddings WHERE vec_id < 5
+            ),
+            sims AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS sim
+                FROM q, embeddings e
+                WHERE e.vec_id != q.query_id
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, neighbor_id) AS rk
+                FROM sims
+            )
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(neighbor_id AS BIGINT) AS neighbor_id,
+                   CAST(rk AS BIGINT) AS rank
+            FROM ranked WHERE rk <= 10
+        """,
+        "e1_sessionize": """
+            WITH d AS (
+                SELECT user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+                FROM events
+            )
+            SELECT user_id,
+                   CAST(1 + sum(CASE WHEN prev IS NOT NULL
+                                      AND ts - prev > INTERVAL 30 MINUTE
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM d GROUP BY user_id
+        """,
+        "m1_binary_features": """
+            SELECT doc_id,
+                   CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+                   md5(text) AS content_md5
+            FROM documents
+        """,
+    }

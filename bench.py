@@ -1,0 +1,188 @@
+"""Benchmark harness. Prints ONE JSON line:
+
+  {"metric": "crawl_wall_sec", "value": <sec>, "unit": "sec",
+   "queries": {...per-pipeline seconds...}, "sf": <sf>, "num_cpus": N,
+   "pages_per_sec": ..., "frontier_dedup_sec": ...}
+
+Headline = full exhaustion crawl of the bench synthetic web corpus
+(CorpusSpec.for_bench(sf)): frontier rounds → politeness → pruned bucket
+fetch → link/text extraction → sharded Bloom dedup → ordering replay →
+checkpoints. The frontier-dedup microbench times first-seen admission of a
+skewed 500k-URL stream through the shard pool (BASELINE.json metric:
+"crawl throughput (pages/sec) + frontier dedup wall-time").
+
+``--scaling`` runs the headline crawl at num_cpus=8 and 32 in fresh
+processes on the SAME prebuilt corpus and reports throughput at both plus
+scaling efficiency (the sandbox stand-in for N vs 4N nodes).
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def run_bench(sf_dir: str, num_cpus: int, crawl_only: bool = False) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from simple_crawler_ray.corpus import CorpusSpec, ensure_corpus
+    from simple_crawler_ray.pipelines.crawl import CrawlConfig, crawl
+    from simple_crawler_ray.sources.pages import ensure_bucketed
+    from simple_crawler_ray.state.seen import ShardedSeenSet
+
+    sf = _sf_of(sf_dir)
+    queries: dict[str, float] = {}
+
+    # ---- corpus prep (one-time, cached; warms the page cache) ----------
+    spec = CorpusSpec.for_bench(sf)
+    corpus_dir = ensure_corpus(spec)
+    ensure_bucketed(
+        os.path.join(corpus_dir, "pages.parquet"),
+        os.path.join(corpus_dir, "buckets32"),
+        32,
+    )
+
+    # ---- headline: full crawl ------------------------------------------
+    seeds = [f"https://host{h}.example" for h in range(spec.n_hosts)]
+    out_dir = tempfile.mkdtemp(prefix="scr_bench_")
+    t0 = time.perf_counter()
+    res = crawl(
+        CrawlConfig(
+            corpus_dir=corpus_dir,
+            out_dir=out_dir,
+            seed_urls=seeds,
+            max_pages=None,
+            keep_html=False,
+            num_buckets=32,
+            num_seen_shards=8,
+            run_id="bench",
+            write_outputs=False,
+        )
+    )
+    crawl_sec = time.perf_counter() - t0
+    fetched = res.metrics["totals"]["fetched"]
+    queries["crawl"] = round(crawl_sec, 3)
+    pages_per_sec = round(fetched / crawl_sec, 2)
+
+    # ---- frontier-dedup microbench -------------------------------------
+    n_urls = 500_000
+    stream = [
+        f"https://host{i % 97}.example/p{(i * 7919) % (n_urls // 2)}"
+        for i in range(n_urls)
+    ]
+    seen = ShardedSeenSet(num_shards=8)
+    t0 = time.perf_counter()
+    chunk = 50_000
+    admitted = 0
+    for i in range(0, n_urls, chunk):
+        admitted += sum(seen.admit(stream[i : i + chunk]))
+    dedup_sec = time.perf_counter() - t0
+    queries["frontier_dedup"] = round(dedup_sec, 3)
+
+    result = {
+        "metric": "crawl_wall_sec",
+        "value": round(crawl_sec, 3),
+        "unit": "sec",
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "pages_per_sec": pages_per_sec,
+        "pages_fetched": fetched,
+        "rounds": res.rounds,
+        "frontier_dedup_sec": round(dedup_sec, 3),
+        "frontier_dedup_urls_per_sec": round(n_urls / dedup_sec),
+    }
+
+    if not crawl_only:
+        import __ray_entry__ as entrymod
+
+        qs = entrymod.queries()
+        for name in (
+            "q1_pricing_summary",
+            "q4_priority_revenue",
+            "q8_hourly_events",
+            "t2_quality_score",
+            "d1_exact_dedup",
+            "d2_minhash_lsh",
+            "s1_knn_bruteforce",
+            "e1_sessionize",
+            "m1_binary_features",
+        ):
+            t0 = time.perf_counter()
+            out = qs[name](sf_dir)
+            # consume lazily-returned datasets so the timing is real
+            if hasattr(out, "to_pandas"):
+                out.to_pandas()
+            queries[name] = round(time.perf_counter() - t0, 3)
+
+    result["queries"] = queries
+    ray.shutdown()
+    return result
+
+
+def run_scaling(sf_dir: str) -> dict:
+    # prebuild the corpus once so both runs measure compute, not generation
+    env = dict(os.environ, RAY_GRAFT_CPUS="8", GRAFT_SF_DIR=sf_dir)
+    outs = {}
+    for ncpu in (8, 32):
+        env["RAY_GRAFT_CPUS"] = str(ncpu)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--crawl-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        outs[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
+    pps8, pps32 = outs[8]["pages_per_sec"], outs[32]["pages_per_sec"]
+    eff = (pps32 / pps8) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "sec_8": outs[8]["value"],
+        "sec_32": outs[32]["value"],
+        "pages_per_sec_8": pps8,
+        "pages_per_sec_32": pps32,
+        "dedup_sec_8": outs[8]["frontier_dedup_sec"],
+        "dedup_sec_32": outs[32]["frontier_dedup_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": outs[8]["sf"],
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+    else:
+        num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        print(
+            json.dumps(
+                run_bench(sf_dir, num_cpus, crawl_only="--crawl-only" in sys.argv)
+            )
+        )

@@ -63,6 +63,22 @@ class CorpusSpec:
         branch = 8 if n_pages < 5_000 else 32
         return CorpusSpec(n_pages=n_pages, n_hosts=n_hosts, branch=branch, seed=seed)
 
+    @staticmethod
+    def for_bench(sf: float, seed: int = 42) -> "CorpusSpec":
+        """Bench corpus: more pages and heavier HTML (closer to real page
+        weight) so extraction compute — not pipeline fixed cost — dominates
+        and scaling across CPU counts is observable."""
+        n_pages = max(2_000, int(round(sf * 600_000)))
+        n_hosts = max(8, int(round(sf * 160)))
+        return CorpusSpec(
+            n_pages=n_pages,
+            n_hosts=n_hosts,
+            branch=32,
+            extra_links=12,
+            n_paragraphs=10,
+            seed=seed,
+        )
+
 
 def _host_sizes(spec: CorpusSpec) -> list[int]:
     """Zipf-skewed page counts per host (host0 is the hot host)."""

@@ -33,6 +33,11 @@ class HostRules:
     crawl_delay: float | None = None
     request_rate: tuple[int, int] | None = None  # (requests, seconds)
     sitemaps: list[str] = field(default_factory=list)
+    # fast path: when the robots file is only simple `Disallow: <prefix>`
+    # rules for `User-agent: *`, these prefixes are RobotFileParser-exact
+    # and the gate can evaluate them vectorized; None → complex robots →
+    # per-URL RobotFileParser fallback
+    simple_disallow_prefixes: list[str] | None = field(default=None)
     _rp: RobotFileParser | None = field(default=None, repr=False, compare=False)
 
     def can_fetch(self, url: str) -> bool:
@@ -43,6 +48,35 @@ class HostRules:
             return self._rp.can_fetch("*", url)
         except Exception:
             return True
+
+
+def _simple_prefixes(robots_text: str) -> list[str] | None:
+    """Extract Disallow prefixes iff the file is the simple shape
+    (single `User-agent: *` group, no Allow/wildcard/$ rules) where
+    prefix matching is exactly RobotFileParser's longest-match result."""
+    prefixes: list[str] = []
+    for raw in robots_text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if val != "*":
+                return None
+        elif key == "disallow":
+            if not val:
+                continue  # empty Disallow ⇒ allow all (no rule)
+            if "*" in val or "$" in val:
+                return None
+            prefixes.append(val)
+        elif key == "allow":
+            return None
+        elif key in ("crawl-delay", "request-rate", "sitemap"):
+            continue
+        else:
+            return None
+    return prefixes
 
 
 def parse_robots(host: str, robots_text: str | None) -> HostRules:
@@ -60,6 +94,7 @@ def parse_robots(host: str, robots_text: str | None) -> HostRules:
         if rr is not None:
             rules.request_rate = (rr.requests, rr.seconds)
         rules.sitemaps = list(rp.site_maps() or [])
+        rules.simple_disallow_prefixes = _simple_prefixes(robots_text)
     except Exception:
         rules._rp = None  # default allow
     return rules

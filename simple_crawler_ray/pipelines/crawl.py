@@ -80,6 +80,7 @@ class CrawlConfig:
     max_fetch_per_round: int | None = None  # cap speculative fetch per round
     resume: bool = False
     max_rounds: int = 1000
+    write_outputs: bool = True  # urls_out/sitemaps parquet (off for pure-throughput bench)
 
 
 @dataclass
@@ -342,8 +343,9 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
     )
     pq.write_table(order_t, os.path.join(cfg.out_dir, "crawl_order.parquet"))
     pq.write_table(seen_t, os.path.join(cfg.out_dir, "seen.parquet"))
-    _write_sitemaps_out(cfg, sitemap_result)
-    _write_urls_out(cfg, order_t)
+    if cfg.write_outputs:
+        _write_sitemaps_out(cfg, sitemap_result)
+        _write_urls_out(cfg, order_t)
 
     totals = {
         "visited": len(replay.order),

@@ -1,0 +1,37 @@
+"""Stream-shaped operators over the ordered ``events`` log.
+
+Ray Data has no event-time watermarks; stream semantics are expressed as
+partition-by-key + sort-within-group (ray_guide §streaming): sessionization
+runs in ``groupby(user_id).map_groups`` over ts-sorted groups.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import ray.data as rd
+
+__all__ = ["e1_sessionize"]
+
+_GAP_MIN = 30
+
+
+def e1_sessionize(sf_dir: str):
+    """Session windows with a 30-minute inactivity gap, per user:
+    n_sessions + n_events (int outputs; oracle = SQL lag/window)."""
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("ts")
+        gaps = g["ts"].diff() > pd.Timedelta(minutes=_GAP_MIN)
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_sessions": [int(gaps.sum()) + 1],
+                "n_events": [len(g)],
+            }
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+    )

@@ -1,0 +1,309 @@
+"""Relational operator catalog over the TPC-H-ish test tables.
+
+These queries exercise the engine's generic dataflow operators — filter /
+project / computed columns, partial-then-final aggregation, broadcast and
+hash-partitioned joins, sort/limit top-k, distinct, union — each with an
+exact DuckDB oracle (see __ray_entry__.oracle_sql). The reference crawler
+has no relational surface (SURVEY §2.4: lookups only), so these are the
+rebuild's general data-processing capabilities expressed Ray-Data-first.
+
+Scale notes applied throughout:
+- reads prune columns (``columns=[...]``);
+- aggregations pre-aggregate per batch inside ``map_batches`` (one partial
+  row per key per batch) before the small final ``groupby`` shuffle;
+- small dimension tables are broadcast via ``ray.put`` and joined inside
+  ``map_batches`` (no shuffle); only genuinely large-large joins use the
+  hash-partitioned ``Dataset.join``;
+- float aggregates are rounded identically on both the Ray and SQL side
+  (summation order differs between engines; rounding defines the contract).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+__all__ = [
+    "q1_pricing_summary",
+    "q2_topk_orders",
+    "q3_segment_revenue",
+    "q4_priority_revenue",
+    "q5_region_acctbal",
+    "q6_forecast_revenue",
+    "q7_distinct_event_types",
+    "q8_hourly_events",
+    "q9_union_counts",
+]
+
+
+def _li(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-style pricing summary: filter → per-batch partial aggregate →
+    small final groupby (the partial/combiner pattern; ray_guide §agg)."""
+
+    cutoff = pd.Timestamp("1998-09-02")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["l_shipdate"] <= cutoff]
+        batch = batch.assign(
+            disc_price=batch["l_extendedprice"] * (1 - batch["l_discount"])
+        )
+        g = batch.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            p_qty=("l_quantity", "sum"),
+            p_base=("l_extendedprice", "sum"),
+            p_disc_price=("disc_price", "sum"),
+            p_disc=("l_discount", "sum"),
+            p_n=("l_quantity", "size"),
+        )
+        return g
+
+    ds = _li(
+        sf_dir,
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_shipdate"],
+    )
+    agg = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("p_qty", alias_name="s_qty"),
+            Sum("p_base", alias_name="s_base"),
+            Sum("p_disc_price", alias_name="s_disc_price"),
+            Sum("p_disc", alias_name="s_disc"),
+            Sum("p_n", alias_name="s_n"),
+        )
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "l_returnflag": agg["l_returnflag"],
+            "l_linestatus": agg["l_linestatus"],
+            "sum_qty": agg["s_qty"].round(2),
+            "sum_base_price": agg["s_base"].round(2),
+            "sum_disc_price": agg["s_disc_price"].round(4),
+            "avg_disc": (agg["s_disc"] / agg["s_n"]).round(6),
+            "count_order": agg["s_n"].astype("int64"),
+        }
+    )
+
+
+def q2_topk_orders(sf_dir: str):
+    """Global top-k: distributed sort + limit (SURVEY §2.6 — absent in the
+    reference; Ray `sort` is the all-to-all here, k rows come back)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"],
+    )
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def q3_segment_revenue(sf_dir: str):
+    """Broadcast join: orders ⋈ customer (small side shipped once via
+    ``ray.put``, looked up per batch — no shuffle; SURVEY §2.4 J3 pattern)."""
+    # dimension tables are read directly on the driver (tiny by definition —
+    # that's what makes them broadcastable) and shipped once via ray.put
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    def attach(batch: pd.DataFrame) -> pd.DataFrame:
+        seg = ray.get(seg_ref)
+        batch["c_mktsegment"] = batch["o_custkey"].map(seg)
+        g = batch.groupby("c_mktsegment", as_index=False).agg(
+            p_rev=("o_totalprice", "sum"), p_n=("o_totalprice", "size")
+        )
+        return g
+
+    agg = (
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        )
+        .map_batches(attach, batch_format="pandas", batch_size=65536)
+        .groupby("c_mktsegment")
+        .aggregate(Sum("p_rev", alias_name="rev"), Sum("p_n", alias_name="n"))
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "c_mktsegment": agg["c_mktsegment"],
+            "total_revenue": agg["rev"].round(2),
+            "n_orders": agg["n"].astype("int64"),
+        }
+    )
+
+
+def q4_priority_revenue(sf_dir: str):
+    """Large-large hash join: lineitem ⋈ orders on the order key via the
+    native hash-partitioned ``Dataset.join`` (both sides shuffled once on
+    the join key). Each join partition is backed by an aggregator actor
+    (~2 s spin-up each), so num_partitions is sized to the DATA, not a
+    fixed constant: ~1 partition per 500k probe rows, min 4 — at cluster
+    scale this grows toward the core count."""
+    li = _li(sf_dir, ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    n_parts = max(4, min(64, li.count() // 500_000))
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(
+            rev=batch["l_extendedprice"] * (1 - batch["l_discount"])
+        )
+        return batch.groupby("o_orderpriority", as_index=False).agg(
+            p_rev=("rev", "sum"), p_n=("rev", "size")
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("o_orderpriority")
+        .aggregate(Sum("p_rev", alias_name="rev"), Sum("p_n", alias_name="n"))
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "o_orderpriority": agg["o_orderpriority"],
+            "revenue": agg["rev"].round(4),
+            "n_items": agg["n"].astype("int64"),
+        }
+    )
+
+
+def q5_region_acctbal(sf_dir: str):
+    """Star-schema multijoin via two broadcast dimension lookups
+    (customer ⋈ nation ⋈ region without any shuffle)."""
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    lookup_ref = ray.put({nk: r2name[rk] for nk, rk in n2r.items()})
+
+    def attach(batch: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(lookup_ref)
+        batch["r_name"] = batch["c_nationkey"].map(lut)
+        return batch.groupby("r_name", as_index=False).agg(
+            p_bal=("c_acctbal", "sum"), p_n=("c_acctbal", "size")
+        )
+
+    agg = (
+        rd.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_acctbal"]
+        )
+        .map_batches(attach, batch_format="pandas")
+        .groupby("r_name")
+        .aggregate(Sum("p_bal", alias_name="bal"), Sum("p_n", alias_name="n"))
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "r_name": agg["r_name"],
+            "total_acctbal": agg["bal"].round(2),
+            "n_customers": agg["n"].astype("int64"),
+        }
+    )
+
+
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H-Q6-style scan-heavy filter + global sum (vectorized Arrow
+    predicate inside map_batches; single-row result)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(batch["l_shipdate"], pa.scalar(pd.Timestamp("1996-01-01"))),
+                pc.less(batch["l_shipdate"], pa.scalar(pd.Timestamp("1997-01-01"))),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(batch["l_discount"], pa.scalar(0.03)),
+                    pc.less_equal(batch["l_discount"], pa.scalar(0.07)),
+                ),
+                pc.less(batch["l_quantity"], pa.scalar(24.0)),
+            ),
+        )
+        t = batch.filter(m)
+        rev = pc.sum(pc.multiply(t["l_extendedprice"], t["l_discount"])).as_py() or 0.0
+        return pa.table({"p_rev": pa.array([rev], pa.float64())})
+
+    ds = _li(sf_dir, ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+    total = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536).sum(
+        "p_rev"
+    )
+    return pd.DataFrame({"revenue": [round(total, 4)]})
+
+
+def q7_distinct_event_types(sf_dir: str):
+    """Distinct over a column (`unique` — a shuffle; SURVEY §2.6)."""
+    vals = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"]).unique(
+        "event_type"
+    )
+    return pd.DataFrame({"event_type": sorted(vals)})
+
+
+def q8_hourly_events(sf_dir: str):
+    """Tumbling-window aggregate: per (event_type, hour) count + sum(value)
+    (streaming-shaped workload on the ordered events log; hour as epoch
+    seconds to keep the oracle comparison integer-exact)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(
+            hour_epoch=(
+                batch["ts"].dt.floor("h").astype("datetime64[s]").astype("int64")
+            )
+        )
+        return batch.groupby(["event_type", "hour_epoch"], as_index=False).agg(
+            p_n=("value", "size"), p_val=("value", "sum")
+        )
+
+    # final merge of the (small, bounded #groups) partials on the driver —
+    # a Ray groupby shuffle over thousands of tiny groups costs more than
+    # the whole partial stream; the distributed work is the partial pass
+    partials = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+        .map_batches(partial, batch_format="pandas", batch_size=65536)
+        .to_pandas()
+    )
+    agg = partials.groupby(["event_type", "hour_epoch"], as_index=False).agg(
+        n=("p_n", "sum"), val=("p_val", "sum")
+    )
+    return pd.DataFrame(
+        {
+            "event_type": agg["event_type"],
+            "hour_epoch": agg["hour_epoch"].astype("int64"),
+            "n_events": agg["n"].astype("int64"),
+            "sum_value": agg["val"].round(4),
+        }
+    )
+
+
+def q9_union_counts(sf_dir: str):
+    """Union of two filtered streams → grouped count (`Dataset.union`)."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    a = ev.map_batches(
+        lambda t: t.filter(pc.greater(t["value"], pa.scalar(50.0))),
+        batch_format="pyarrow",
+    )
+    b = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], pa.scalar("error"))),
+        batch_format="pyarrow",
+    )
+    agg = a.union(b).groupby("event_type").aggregate(Count(alias_name="n")).to_pandas()
+    return pd.DataFrame(
+        {"event_type": agg["event_type"], "n": agg["n"].astype("int64")}
+    )

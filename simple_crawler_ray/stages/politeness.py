@@ -1,4 +1,4 @@
-"""Per-host robots + politeness gate.
+"""Per-host robots + politeness gate (vectorized).
 
 Reference parity: robots Disallow is enforced BEFORE fetch, disallowed →
 (403, DISALLOWED) closed row (downloader.py:59-67, tests/test_downloader.py:
@@ -11,15 +11,24 @@ Token bucket (north_star; reference reads crawl_delay but never enforces it,
 downloader.py:36-44): each round models ``round_seconds`` of wall time, so a
 host with Crawl-delay d may fetch ``max(1, round_seconds // d)`` pages per
 round; the rest are DEFERRED to the next round (counted in the ``deferred``
-metric, never dropped). Deferral is pure scheduling — it changes round
-composition, never the final crawl graph, so ordering parity (replay) is
-unaffected.
+metric, never dropped). Within a host, earlier frontier rows win the budget
+(admission order → recency-consistent scheduling). Deferral is pure
+scheduling — it changes round composition, never the final crawl graph, so
+ordering parity (replay) is unaffected.
+
+Implementation: pandas-vectorized per host group. Hosts with simple robots
+(only `Disallow: <prefix>` under `User-agent: *` — the overwhelmingly common
+shape) take the exact vectorized prefix path; complex robots fall back to
+per-URL ``RobotFileParser.can_fetch`` (which costs ~30 µs/url and would
+serialize the driver on wide frontiers).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from ..functions.robots import RulesIndex
@@ -34,41 +43,54 @@ class GateResult:
     deferred: pa.Table
 
 
+def _path_of(url: str, host: str) -> str:
+    """path+query part after the host (what RobotFileParser matches on)."""
+    i = url.find("://")
+    j = url.find("/", i + 3) if i >= 0 else -1
+    return url[j:] if j >= 0 else "/"
+
+
 def politeness_gate(
     frontier: pa.Table,
     rules: RulesIndex,
     round_seconds: float | None = None,
 ) -> GateResult:
     """Split a round's frontier (needs ``url`` and ``host`` columns) into
-    allowed / disallowed / deferred.
+    allowed / disallowed / deferred (see module docstring)."""
+    n = frontier.num_rows
+    if n == 0:
+        return GateResult(frontier, frontier.slice(0, 0), frontier.slice(0, 0))
 
-    Within a host, earlier frontier rows win the token budget (frontier
-    order is the admission order → recency-consistent scheduling).
-    """
-    urls = frontier["url"].to_pylist()
-    hosts = frontier["host"].to_pylist()
+    urls = pd.Series(frontier["url"].to_pylist())
+    hosts = pd.Series(frontier["host"].to_pylist())
+    disallowed = np.zeros(n, dtype=bool)
+    deferred = np.zeros(n, dtype=bool)
 
-    allowed_idx: list[int] = []
-    disallowed_idx: list[int] = []
-    deferred_idx: list[int] = []
-    budget: dict[str, int] = {}
-
-    for i, (url, host) in enumerate(zip(urls, hosts)):
+    for host, idx in hosts.groupby(hosts).groups.items():
         host_rules = rules.for_host(host)
-        if not host_rules.can_fetch(url):
-            disallowed_idx.append(i)
-            continue
-        if round_seconds is not None and host_rules.crawl_delay:
-            if host not in budget:
-                budget[host] = max(1, int(round_seconds // host_rules.crawl_delay))
-            if budget[host] <= 0:
-                deferred_idx.append(i)
-                continue
-            budget[host] -= 1
-        allowed_idx.append(i)
+        hurls = urls[idx]
+        dmask = np.zeros(len(idx), dtype=bool)
+        prefixes = host_rules.simple_disallow_prefixes
+        if host_rules.robots_text is None:
+            pass  # no robots → allow all
+        elif prefixes is not None:
+            if prefixes:
+                paths = hurls.map(lambda u, h=host: _path_of(u, h))
+                for p in prefixes:
+                    dmask |= paths.str.startswith(p).to_numpy()
+        else:  # complex robots: exact per-URL fallback
+            dmask = ~hurls.map(host_rules.can_fetch).to_numpy(dtype=bool)
+        disallowed[idx] = dmask
 
+        if round_seconds is not None and host_rules.crawl_delay:
+            budget = max(1, int(round_seconds // host_rules.crawl_delay))
+            ok = ~dmask
+            over_budget = ok.cumsum() > budget
+            deferred[idx] = ok & over_budget
+
+    allowed_mask = ~(disallowed | deferred)
     return GateResult(
-        allowed=frontier.take(pa.array(allowed_idx, pa.int64())),
-        disallowed=frontier.take(pa.array(disallowed_idx, pa.int64())),
-        deferred=frontier.take(pa.array(deferred_idx, pa.int64())),
+        allowed=frontier.filter(pa.array(allowed_mask)),
+        disallowed=frontier.filter(pa.array(disallowed)),
+        deferred=frontier.filter(pa.array(deferred)),
     )

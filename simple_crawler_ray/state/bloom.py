@@ -30,26 +30,41 @@ class BloomFilter:
         self.num_hashes = num_hashes
         self._words = np.zeros(num_bits // 64, dtype=np.uint64)
 
-    def _positions(self, key: bytes) -> np.ndarray:
-        # double hashing: h_i = h1 + i*h2 (Kirsch–Mitzenmacher)
-        d = hashlib.sha1(key).digest()
-        h1 = int.from_bytes(d[:8], "big")
-        h2 = int.from_bytes(d[8:16], "big") | 1
+    def _positions_many(self, keys: list[bytes]) -> np.ndarray:
+        """(n, k) bit positions; double hashing h_i = h1 + i*h2
+        (Kirsch–Mitzenmacher)."""
+        h1 = np.empty(len(keys), dtype=np.uint64)
+        h2 = np.empty(len(keys), dtype=np.uint64)
+        for j, key in enumerate(keys):
+            d = hashlib.sha1(key).digest()
+            h1[j] = int.from_bytes(d[:8], "big")
+            h2[j] = int.from_bytes(d[8:16], "big") | 1
         i = np.arange(self.num_hashes, dtype=np.uint64)
-        return (np.uint64(h1) + i * np.uint64(h2)) % np.uint64(self.num_bits)
+        return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(self.num_bits)
 
-    def add(self, key: bytes) -> None:
-        pos = self._positions(key)
+    def add_many(self, keys: list[bytes]) -> None:
+        if not keys:
+            return
+        pos = self._positions_many(keys).ravel()
         np.bitwise_or.at(
             self._words, (pos >> np.uint64(6)).astype(np.int64),
             np.uint64(1) << (pos & np.uint64(63)),
         )
 
-    def __contains__(self, key: bytes) -> bool:
-        pos = self._positions(key)
+    def contains_many(self, keys: list[bytes]) -> np.ndarray:
+        """Boolean array: maybe-present per key (vectorized)."""
+        if not keys:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions_many(keys)
         words = self._words[(pos >> np.uint64(6)).astype(np.int64)]
         masks = np.uint64(1) << (pos & np.uint64(63))
-        return bool(np.all(words & masks))
+        return ((words & masks) != 0).all(axis=1)
+
+    def add(self, key: bytes) -> None:
+        self.add_many([key])
+
+    def __contains__(self, key: bytes) -> bool:
+        return bool(self.contains_many([key])[0])
 
     def merge(self, other: "BloomFilter") -> None:
         assert self.num_bits == other.num_bits and self.num_hashes == other.num_hashes

@@ -41,24 +41,29 @@ class SeenShard:
 
     def admit(self, urls: list[str]) -> list[bool]:
         """SADD semantics: True iff the URL was not seen before (first-seen
-        wins; atomic within the shard). cf. reference cache.py:91-97."""
+        wins; atomic within the shard). cf. reference cache.py:91-97.
+
+        Vectorized: one batched Bloom probe for all urls; Bloom-negative →
+        definitely new (no exact lookup); Bloom-positive → exact confirm
+        (a false positive must never drop a URL)."""
+        keys = [canonicalize(u).encode("utf-8") for u in urls]
+        maybe = self._bloom.contains_many(keys)
         out: list[bool] = []
-        for url in urls:
-            key = canonicalize(url).encode("utf-8")
-            if key in self._bloom and url in self._exact:
+        new_keys: list[bytes] = []
+        for url, key, m in zip(urls, keys, maybe):
+            if m and url in self._exact:
                 out.append(False)
             else:
-                self._bloom.add(key)
                 self._exact.add(url)
+                new_keys.append(key)
                 out.append(True)
+        self._bloom.add_many(new_keys)
         return out
 
     def contains(self, urls: list[str]) -> list[bool]:
-        out = []
-        for url in urls:
-            key = canonicalize(url).encode("utf-8")
-            out.append(key in self._bloom and url in self._exact)
-        return out
+        keys = [canonicalize(u).encode("utf-8") for u in urls]
+        maybe = self._bloom.contains_many(keys)
+        return [bool(m) and u in self._exact for u, m in zip(urls, maybe)]
 
     def size(self) -> int:
         return len(self._exact)
