@@ -65,17 +65,18 @@ class CorpusSpec:
 
     @staticmethod
     def for_bench(sf: float, seed: int = 42) -> "CorpusSpec":
-        """Bench corpus: more pages and heavier HTML (closer to real page
-        weight) so extraction compute — not pipeline fixed cost — dominates
-        and scaling across CPU counts is observable."""
+        """Bench corpus: more pages and heavier HTML (~10 KB, dozens of
+        links — much closer to real page weight than the tiny test pages)
+        so extraction compute — not pipeline fixed cost — dominates and
+        scaling across CPU counts is observable."""
         n_pages = max(2_000, int(round(sf * 600_000)))
         n_hosts = max(8, int(round(sf * 160)))
         return CorpusSpec(
             n_pages=n_pages,
             n_hosts=n_hosts,
             branch=32,
-            extra_links=12,
-            n_paragraphs=10,
+            extra_links=40,
+            n_paragraphs=30,
             seed=seed,
         )
 
@@ -90,6 +91,11 @@ def _host_sizes(spec: CorpusSpec) -> list[int]:
 
 def _page_path(i: int) -> str:
     return "/" if i == 0 else f"/p{i}"
+
+
+def _host_seed(spec: CorpusSpec, h: int) -> int:
+    # independent per-host streams so hosts can generate in parallel
+    return (spec.seed * 1_000_003 + h * 9973) % (2**31 - 1)
 
 
 def _gen_host(
@@ -126,7 +132,7 @@ def _gen_host(
         hrefs += [_page_path(e) for e in extra]
         if n_private and i % max(2, int(1 / spec.private_frac)) == 0:
             hrefs.append(private_paths[i % n_private])
-        if rng.rand() < spec.dead_frac:
+        if spec.dead_frac and i % max(2, int(1 / spec.dead_frac)) == 1:
             hrefs.append(f"/dead{i}")
         # cross-host links: same-domain predicate must drop these
         cross_hosts = rng.randint(0, spec.n_hosts, size=spec.cross_links)
@@ -182,28 +188,27 @@ def _gen_host(
     return rows, robots_text, sitemap_docs
 
 
-def generate_corpus(spec: CorpusSpec) -> pa.Table:
-    """Build the full pages table (content pages + robots + sitemaps)."""
-    rng = np.random.RandomState(spec.seed)
-    sizes = _host_sizes(spec)
-    all_rows: list[dict] = []
-    for h, n in enumerate(sizes):
-        host = f"host{h}.example"
-        rows, robots_text, sitemap_docs = _gen_host(host, n, spec, rng)
-        all_rows.extend(rows)
-        all_rows.append(
-            {"url": f"https://{host}/robots.txt", "html": robots_text, "kind": "robots"}
-        )
-        for su, xml in sitemap_docs:
-            all_rows.append({"url": su, "html": xml, "kind": "sitemap"})
+def _host_rows(spec: CorpusSpec, h: int, n: int) -> list[dict]:
+    """All rows of one host (pages + robots + sitemaps); deterministic in
+    (spec, h) — safe to generate hosts in parallel."""
+    host = f"host{h}.example"
+    rng = np.random.RandomState(_host_seed(spec, h))
+    rows, robots_text, sitemap_docs = _gen_host(host, n, spec, rng)
+    rows.append(
+        {"url": f"https://{host}/robots.txt", "html": robots_text, "kind": "robots"}
+    )
+    rows.extend({"url": su, "html": xml, "kind": "sitemap"} for su, xml in sitemap_docs)
+    return rows
 
+
+def _rows_to_table(all_rows: list[dict], ts_offset: int = 0) -> pa.Table:
     urls = [r["url"] for r in all_rows]
     htmls = [r["html"].encode("utf-8") for r in all_rows]
     texts = [
         extract_text(r["html"]) if r["kind"] == "page" else "" for r in all_rows
     ]
     langs = ["en" if i % 17 else ("de" if i % 2 else "fr") for i in range(len(all_rows))]
-    base_ts = 1_700_000_000
+    base_ts = 1_700_000_000 + ts_offset
     ts = [base_ts + i for i in range(len(all_rows))]
     return pa.table(
         {
@@ -216,8 +221,49 @@ def generate_corpus(spec: CorpusSpec) -> pa.Table:
     )
 
 
+def generate_corpus(spec: CorpusSpec) -> pa.Table:
+    """Build the full pages table (content pages + robots + sitemaps).
+
+    Hosts generate in parallel as Ray tasks when a Ray session is up and
+    the corpus is big (generation + golden-text extraction is CPU-bound);
+    per-host seeds keep the output byte-identical either way.
+    """
+    sizes = _host_sizes(spec)
+    use_ray = False
+    if spec.n_pages >= 20_000:
+        try:
+            import ray
+
+            use_ray = ray.is_initialized()
+        except ImportError:
+            use_ray = False
+
+    offsets = np.cumsum([0] + [s + 10 for s in sizes[:-1]])  # stable-ish ts per host
+    if use_ray:
+        import ray
+
+        gen = ray.remote(
+            lambda sp, h, n, off: _rows_to_table(_host_rows(sp, h, n), off)
+        )
+        tables = ray.get(
+            [gen.remote(spec, h, n, int(offsets[h])) for h, n in enumerate(sizes)]
+        )
+    else:
+        tables = [
+            _rows_to_table(_host_rows(spec, h, n), int(offsets[h]))
+            for h, n in enumerate(sizes)
+        ]
+    return pa.concat_tables(tables)
+
+
+_GEN_VERSION = 2  # bump when the generation algorithm changes (cache key)
+
+
 def corpus_path(spec: CorpusSpec, root: str = "/tmp/scr_corpus") -> str:
-    key = f"n{spec.n_pages}_h{spec.n_hosts}_b{spec.branch}_s{spec.seed}"
+    key = (
+        f"v{_GEN_VERSION}_n{spec.n_pages}_h{spec.n_hosts}_b{spec.branch}"
+        f"_p{spec.n_paragraphs}_e{spec.extra_links}_s{spec.seed}"
+    )
     return os.path.join(root, key)
 
 

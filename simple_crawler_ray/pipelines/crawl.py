@@ -43,8 +43,13 @@ from ..functions.robots import RulesIndex
 from ..functions.sitemaps import SitemapResult
 from ..functions.urlkit import host_of, url_sha1
 from ..schemas import CrawlStatus
-from ..sources.pages import bucket_files_for, ensure_bucketed, url_bucket
-from ..stages.extract import crawl_round_batch
+from ..sources.pages import (
+    bucket_files_for,
+    ensure_bucketed,
+    load_url_index,
+    url_bucket,
+)
+from ..stages.extract import crawl_round_batch, crawl_round_file_batch
 from ..stages.politeness import politeness_gate
 from ..state.seen import ShardedSeenSet
 from .replay import OrderingReplay
@@ -81,6 +86,10 @@ class CrawlConfig:
     resume: bool = False
     max_rounds: int = 1000
     write_outputs: bool = True  # urls_out/sitemaps parquet (off for pure-throughput bench)
+    # frontier size below which the round runs as driver-side point lookups
+    # instead of a Ray Data execution (a tiny round's ~1-2 s pipeline launch
+    # dwarfs its compute; seed/straggler rounds hit this constantly)
+    small_round_threshold: int = 512
 
 
 @dataclass
@@ -165,7 +174,30 @@ def _round_dir(out_dir: str, r: int) -> str:
     return os.path.join(out_dir, "rounds", f"round={r}")
 
 
-def crawl(cfg: CrawlConfig) -> CrawlResult:
+def _load_adjacency_from_rounds(out_dir: str, adjacency: dict) -> None:
+    """Stream every persisted round result (fetched parts + closed rows)
+    into the replay adjacency — ONE multithreaded parquet pass; used by the
+    exhaustion path and by resume."""
+    import glob as _glob
+
+    fetched_parts = _glob.glob(
+        os.path.join(out_dir, "rounds", "round=*", "fetched", "*.parquet")
+    )
+    if fetched_parts:
+        t = pads.dataset(fetched_parts).to_table(columns=["url", "linked_urls"])
+        for u, links in zip(t["url"].to_pylist(), t["linked_urls"].to_pylist()):
+            adjacency[u] = (int(CrawlStatus.PARSED), 200, links or [])
+    for cpath in _glob.glob(os.path.join(out_dir, "rounds", "round=*", "closed.parquet")):
+        t = pq.read_table(cpath, columns=["url", "crawl_status"])
+        for u, st in zip(t["url"].to_pylist(), t["crawl_status"].to_pylist()):
+            req = 403 if st == int(CrawlStatus.DISALLOWED) else 404
+            adjacency[u] = (int(st), req, [])
+
+
+def crawl(cfg: CrawlConfig, seen_set: ShardedSeenSet | None = None) -> CrawlResult:
+    """Run the crawl. ``seen_set`` may be injected (pre-created/warmed shard
+    pool — used by the bench to keep actor cold-start out of the timed
+    section, and by tests); by default a fresh pool is created."""
     t_start = time.perf_counter()
     os.makedirs(cfg.out_dir, exist_ok=True)
     pages_path = os.path.join(cfg.corpus_dir, "pages.parquet")
@@ -187,23 +219,38 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
     )
 
     replay = OrderingReplay(seeds, cfg.max_pages)
-    seen_set = ShardedSeenSet(num_shards=cfg.num_seen_shards)
+    if seen_set is None:
+        seen_set = ShardedSeenSet(num_shards=cfg.num_seen_shards)
     adjacency: dict[str, tuple[int, int, list[str]]] = {}
     metrics: dict = {"rounds": [], "totals": {}}
     start_round = 0
     frontier = _frontier_table([(u, 0, "") for u in seeds])
     # seed admission (SADD on seed, cache.py:91-97 via main.py:33)
     seen_set.admit(frontier["url"].to_pylist())
+    # driver-side mirror of the seen set, broadcast per round so tasks drop
+    # already-seen links before they ship (exact filter; at 10^10 scale this
+    # becomes the merged shard Bloom — see stages/extract.candidate_batch)
+    driver_seen: set[str] = set(frontier["url"].to_pylist())
+    # corpus URL index: dead links 404 without touching a bucket file
+    corpus_urls = load_url_index(bucket_dir)
 
     if cfg.resume:
         resumed = _try_resume(cfg, seen_set, adjacency, metrics)
         if resumed is not None:
             start_round, frontier = resumed
             replay.advance(adjacency)
+            driver_seen = seen_set.contents()
 
     r = start_round
     while r < cfg.max_rounds:
         round_t0 = time.perf_counter()
+        phase_t: dict[str, float] = {}
+
+        def _mark(name: str, _last=[round_t0]) -> None:
+            now = time.perf_counter()
+            phase_t[name] = round(now - _last[0], 4)
+            _last[0] = now
+
         rdir = _round_dir(cfg.out_dir, r)
         os.makedirs(rdir, exist_ok=True)
 
@@ -223,70 +270,117 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
             gate.disallowed, 403, int(CrawlStatus.DISALLOWED)
         )
 
+        # ---- corpus-index split: in-corpus → fetch; missing → 404 now ----
+        present_mask = pa.array(
+            [u in corpus_urls for u in allowed["url"].to_pylist()], pa.bool_()
+        )
+        missed_t = _closed_rows_table(
+            allowed.filter(pc.invert(present_mask)), 404, int(CrawlStatus.ERROR)
+        )
+        allowed = allowed.filter(present_mask)
+        allowed_urls = allowed["url"].to_pylist()
+        _mark("gate")
+
         # ---- fetch (pruned bucket read + broadcast semi-join) + extract
         # + persist + candidates — ONE fused Ray Data execution per round
-        allowed_urls = allowed["url"].to_pylist()
         fetched_tbl = None
         new_frontier_tbl = _empty_frontier()
         candidates_admitted = 0
+        candidates_seen = 0
         if allowed_urls:
             buckets = {url_bucket(u, cfg.num_buckets) for u in allowed_urls}
             files = bucket_files_for(bucket_dir, buckets)
-            url_set_ref = ray.put(set(allowed_urls))
-            depth_ref = ray.put(
-                dict(zip(allowed_urls, allowed["depth"].to_pylist()))
-            )
+            depth_map = dict(zip(allowed_urls, allowed["depth"].to_pylist()))
+            seen_ref = ray.put(driver_seen)
             fetched_out = os.path.join(rdir, "fetched")
             if os.path.isdir(fetched_out):  # stale partial round (pre-crash)
                 import shutil
 
                 shutil.rmtree(fetched_out)
-            meta_ds = rd.read_parquet(files, columns=["url", "html"]).map_batches(
-                crawl_round_batch,
-                fn_kwargs={
-                    "url_set_ref": url_set_ref,
-                    "depth_ref": depth_ref,
-                    "seen_set": seen_set,
-                    "out_dir": fetched_out,
-                    "keep_html": cfg.keep_html,
-                },
-                batch_format="pyarrow",
-                batch_size=cfg.batch_size,
-            )
-            meta_tbl = _to_table(meta_ds, _META_SCHEMA)
+            if len(allowed_urls) <= cfg.small_round_threshold:
+                # driver fast path: point-lookup fetch + inline extraction —
+                # no Ray Data execution for seed/straggler rounds
+                tbl = pads.dataset(files).to_table(
+                    columns=["url", "html"],
+                    filter=pc.field("url").isin(allowed_urls),
+                )
+                meta_tbl = crawl_round_batch(
+                    tbl,
+                    url_set_ref=set(allowed_urls),
+                    depth_ref=depth_map,
+                    out_dir=fetched_out,
+                    keep_html=cfg.keep_html,
+                    seen_ref=driver_seen,
+                    emit_links=cfg.max_pages is not None,
+                )
+            else:
+                url_set_ref = ray.put(set(allowed_urls))
+                depth_ref = ray.put(depth_map)
+                meta_ds = rd.from_items([{"path": p} for p in files]).map_batches(
+                    crawl_round_file_batch,
+                    fn_kwargs={
+                        "url_set_ref": url_set_ref,
+                        "depth_ref": depth_ref,
+                        "out_dir": fetched_out,
+                        "keep_html": cfg.keep_html,
+                        "seen_ref": seen_ref,
+                        "emit_links": cfg.max_pages is not None,
+                    },
+                    batch_format="pyarrow",
+                    batch_size=1,  # one task per bucket part file
+                )
+                meta_tbl = _to_table(meta_ds, _META_SCHEMA)
             is_page = pc.equal(meta_tbl["kind"], "page")
             fetched_tbl = meta_tbl.filter(is_page).select(["url", "linked_urls"])
-            new_frontier_tbl = meta_tbl.filter(pc.invert(is_page)).select(
+            cand_tbl = meta_tbl.filter(pc.invert(is_page)).select(
                 ["url", "host", "depth", "parent_url"]
             )
+            # global first-seen admission: merge the (metadata-only)
+            # candidates, then one batched parallel RPC sweep over the
+            # seen-set shards (see crawl_round_batch docstring for why this
+            # runs on the driver, not inside the map tasks)
+            uniq: dict[str, int] = {}
+            c_urls = cand_tbl["url"].to_pylist()
+            for i, u in enumerate(c_urls):
+                if u not in uniq:
+                    uniq[u] = i
+            uniq_idx = list(uniq.values())
+            new_mask = seen_set.admit([c_urls[i] for i in uniq_idx])
+            keep_idx = pa.array(
+                [i for i, is_new in zip(uniq_idx, new_mask) if is_new], pa.int64()
+            )
+            new_frontier_tbl = cand_tbl.take(keep_idx)
             candidates_admitted = new_frontier_tbl.num_rows
-
-        # ---- misses → ERROR rows (reference downloader error path) ------
-        found = set(fetched_tbl["url"].to_pylist()) if fetched_tbl is not None else set()
-        miss_mask = pa.array([u not in found for u in allowed_urls])
-        missed_t = _closed_rows_table(
-            allowed.filter(miss_mask), 404, int(CrawlStatus.ERROR)
-        )
+            candidates_seen = cand_tbl.num_rows
+            driver_seen.update(new_frontier_tbl["url"].to_pylist())
+        found = set(allowed_urls)  # corpus-index split guarantees presence
+        _mark("fetch_extract")
 
         closed_t = pa.concat_tables([disallowed_t, missed_t])
         if closed_t.num_rows:
             pq.write_table(closed_t, os.path.join(rdir, "closed.parquet"))
 
         # ---- update adjacency + replay ----------------------------------
+        # budgeted crawls advance the replay every round (it decides when
+        # the page budget is hit); exhaustion crawls defer ordering to ONE
+        # post-loop pass over the persisted parts (emit_links=False above)
         total_links = 0
-        if fetched_tbl is not None:
-            for u, links in zip(
-                fetched_tbl["url"].to_pylist(), fetched_tbl["linked_urls"].to_pylist()
+        state = "pending"
+        if cfg.max_pages is not None:
+            if fetched_tbl is not None:
+                for u, links in zip(
+                    fetched_tbl["url"].to_pylist(),
+                    fetched_tbl["linked_urls"].to_pylist(),
+                ):
+                    adjacency[u] = (int(CrawlStatus.PARSED), 200, links or [])
+                    total_links += len(links or [])
+            for u, st in zip(
+                closed_t["url"].to_pylist(), closed_t["crawl_status"].to_pylist()
             ):
-                adjacency[u] = (int(CrawlStatus.PARSED), 200, links or [])
-                total_links += len(links or [])
-        for u, st in zip(
-            closed_t["url"].to_pylist(), closed_t["crawl_status"].to_pylist()
-        ):
-            req = 403 if st == int(CrawlStatus.DISALLOWED) else 404
-            adjacency[u] = (int(st), req, [])
-
-        state = replay.advance(adjacency)
+                req = 403 if st == int(CrawlStatus.DISALLOWED) else 404
+                adjacency[u] = (int(st), req, [])
+            state = replay.advance(adjacency)
+        _mark("adjacency_replay")
 
         # ---- next frontier + checkpoint ---------------------------------
         frontier = (
@@ -301,14 +395,19 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
             with open(os.path.join(seen_dir, f"shard{i}.bin"), "wb") as f:
                 f.write(snap)
 
+        _mark("checkpoint")
         round_metrics = {
             "round": r,
+            "phases": phase_t,
             "fetched": len(found),
             "errors": int(missed_t.num_rows),
             "disallowed": int(disallowed_t.num_rows),
             "deferred": int(deferred.num_rows),
             "admitted_new": int(candidates_admitted),
-            "deduped": int(total_links - candidates_admitted),
+            # duplicates that crossed the task-local filters and were
+            # rejected by the global first-seen admission (in-task filtered
+            # duplicates never reach the driver and aren't counted)
+            "deduped": int(candidates_seen - candidates_admitted),
             "frontier_next": int(frontier.num_rows),
             "wall_sec": round(time.perf_counter() - round_t0, 4),
         }
@@ -320,9 +419,14 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
         if state == "done" and replay.done():
             break
         if frontier.num_rows == 0:
-            # exhaustion: adjacency is complete, replay must finish now
-            replay.advance(adjacency)
             break
+
+    if not replay.done():
+        # exhaustion path: one streaming pass over the persisted round
+        # results builds the full adjacency, then the replay runs to
+        # completion (pure function of seeds + adjacency)
+        _load_adjacency_from_rounds(cfg.out_dir, adjacency)
+        replay.advance(adjacency)
 
     # ---- final outputs ---------------------------------------------------
     order_t = pa.table(
@@ -442,7 +546,7 @@ def _write_urls_out(cfg: CrawlConfig, order_t: pa.Table) -> None:
     if fetched_dirs:
         def to_urls_out(batch: pa.Table, meta=meta_ref) -> pa.Table:
             m = ray.get(meta) if isinstance(meta, ray.ObjectRef) else meta
-            keep = pa.array([u in m for u in batch["url"].to_pylist()])
+            keep = pa.array([u in m for u in batch["url"].to_pylist()], pa.bool_())
             batch = batch.filter(keep)
             urls = batch["url"].to_pylist()
             n = len(urls)
@@ -534,19 +638,7 @@ def _try_resume(
         if rnum > last:
             shutil.rmtree(d, ignore_errors=True)
 
-    for rn in range(last + 1):
-        rdir = _round_dir(cfg.out_dir, rn)
-        fdir = os.path.join(rdir, "fetched")
-        if os.path.isdir(fdir):
-            t = pads.dataset(fdir).to_table(columns=["url", "linked_urls"])
-            for u, links in zip(t["url"].to_pylist(), t["linked_urls"].to_pylist()):
-                adjacency[u] = (int(CrawlStatus.PARSED), 200, links or [])
-        cpath = os.path.join(rdir, "closed.parquet")
-        if os.path.exists(cpath):
-            t = pq.read_table(cpath)
-            for u, st in zip(t["url"].to_pylist(), t["crawl_status"].to_pylist()):
-                req = 403 if st == int(CrawlStatus.DISALLOWED) else 404
-                adjacency[u] = (int(st), req, [])
+    _load_adjacency_from_rounds(cfg.out_dir, adjacency)
 
     snaps = []
     seen_dir = os.path.join(_round_dir(cfg.out_dir, last), "seen")

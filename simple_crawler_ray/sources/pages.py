@@ -50,8 +50,12 @@ def ensure_bucketed(
     import ray.data as rd
 
     marker = os.path.join(out_dir, "_BUCKETS_OK")
-    if os.path.exists(marker):
+    if os.path.exists(marker) and os.path.isdir(os.path.join(out_dir, "_url_index")):
         return out_dir
+    if os.path.exists(out_dir):  # stale layout (older bucketize version)
+        import shutil
+
+        shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
@@ -60,9 +64,22 @@ def ensure_bucketed(
     ds = rd.read_parquet(pages_path)
     ds = ds.map_batches(add_bucket, batch_format="pyarrow")
     ds.write_parquet(out_dir, partition_cols=["bucket"])
+    # tiny url-only index: lets the crawl 404 dead links without touching a
+    # bucket file (driver holds it as a set at sandbox scale; at 10^10 URLs
+    # it becomes a Bloom filter — a false positive only costs a fetch miss)
+    urls = rd.read_parquet(pages_path, columns=["url"])
+    urls.write_parquet(os.path.join(out_dir, "_url_index"))
     with open(marker, "w") as f:
         json.dump({"num_buckets": num_buckets, "source": pages_path}, f)
     return out_dir
+
+
+def load_url_index(bucket_dir: str) -> set[str]:
+    """The corpus URL set (see ensure_bucketed)."""
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(os.path.join(bucket_dir, "_url_index")).to_table()
+    return set(t["url"].to_pylist())
 
 
 def bucket_files_for(

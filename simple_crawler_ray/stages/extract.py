@@ -22,17 +22,24 @@ from __future__ import annotations
 import pyarrow as pa
 import ray
 
-from ..functions.linkextract import extract_links, extract_text
+from ..functions.linkextract import extract_page
 from ..functions.urlkit import host_of
 from ..schemas import CrawlStatus
 
-__all__ = ["fetch_extract_batch", "candidate_batch", "crawl_round_batch"]
+__all__ = [
+    "fetch_extract_batch",
+    "candidate_batch",
+    "crawl_round_batch",
+    "crawl_round_file_batch",
+]
 
 # per-worker-process cache of deserialized broadcast objects
 _BROADCAST_CACHE: dict[str, object] = {}
 
 
-def _get_broadcast(ref: "ray.ObjectRef"):
+def _get_broadcast(ref):
+    if not isinstance(ref, ray.ObjectRef):
+        return ref  # driver fast path passes plain objects
     key = ref.hex()
     if key not in _BROADCAST_CACHE:
         if len(_BROADCAST_CACHE) > 64:  # bound worker memory across rounds
@@ -59,7 +66,7 @@ def fetch_extract_batch(
     success). Text is the byte-identical golden extraction.
     """
     url_set: set[str] = _get_broadcast(url_set_ref)
-    mask = pa.array([u in url_set for u in batch["url"].to_pylist()])
+    mask = pa.array([u in url_set for u in batch["url"].to_pylist()], pa.bool_())
     batch = batch.filter(mask)
     urls = batch["url"].to_pylist()
     htmls = batch["html"].to_pylist()
@@ -68,8 +75,9 @@ def fetch_extract_batch(
     hosts: list[str] = []
     for url, html_bytes in zip(urls, htmls):
         html = html_bytes.decode("utf-8", errors="replace")
-        texts.append(extract_text(html))
-        links.append(extract_links(url, html))
+        text, page_links = extract_page(url, html)  # single parse pass
+        texts.append(text)
+        links.append(page_links)
         hosts.append(host_of(url))
     n = len(urls)
     cols = {
@@ -90,13 +98,22 @@ def crawl_round_batch(
     *,
     url_set_ref: "ray.ObjectRef",
     depth_ref: "ray.ObjectRef",
-    seen_set,
     out_dir: str,
     keep_html: bool = False,
+    seen_ref: "ray.ObjectRef | None" = None,
+    emit_links: bool = True,
 ) -> pa.Table:
     """The WHOLE crawl round as one fused stage → one Ray Data execution per
-    round (fetch-filter → extract → persist → explode → admit), so the
+    round (fetch-filter → extract → persist → explode+local-dedup), so the
     per-round fixed cost is a single pipeline, not four.
+
+    ``emit_links=False`` drops the per-page linked_urls from the RETURNED
+    metadata (they are always persisted in the parquet part): an exhaustion
+    crawl (max_pages=None) doesn't need per-round adjacency — the ordering
+    replay streams the persisted parts once after the loop — and shipping
+    millions of link strings through the driver every round is the single
+    biggest serial cost at scale. A budgeted crawl needs them per round so
+    the replay can decide termination.
 
     Side effect: persists the full extracted rows (incl. text/html) as a
     Parquet part file under ``out_dir`` — the checkpoint/results unit. The
@@ -105,7 +122,15 @@ def crawl_round_batch(
 
     Returns ONLY small metadata rows, tagged by ``kind``:
       kind="page": url, host, linked_urls        (adjacency for the replay)
-      kind="new" : url, host, depth, parent_url  (admitted frontier rows)
+      kind="cand": url, host, depth, parent_url  (locally-deduped candidates)
+
+    Global first-seen admission (SADD parity) runs on the DRIVER against the
+    sharded seen-set actors: a blocking actor RPC from inside a map task
+    parks the worker in ray.get, which makes Ray spawn extra (cold) workers
+    and triggers an import storm mid-round — measured far slower than
+    funneling the (tiny) candidate metadata through the driver. At
+    multi-node scale the distributed alternative is a shard-partitioned
+    groupby(shard) stage whose per-group task talks to exactly one shard.
     """
     import hashlib
     import os
@@ -121,12 +146,17 @@ def crawl_round_batch(
         pq.write_table(fetched, os.path.join(out_dir, f"part-{key}.parquet"))
 
     new_frontier = candidate_batch(
-        fetched.select(["url", "linked_urls"]), seen_set=seen_set, depth_ref=depth_ref
+        fetched.select(["url", "linked_urls"]), depth_ref=depth_ref, seen_ref=seen_ref
     )
     np_, nn = fetched.num_rows, new_frontier.num_rows
+    page_links = (
+        fetched["linked_urls"].combine_chunks()
+        if emit_links
+        else pa.nulls(np_, pa.list_(pa.string()))
+    )
     return pa.table(
         {
-            "kind": pa.array(["page"] * np_ + ["new"] * nn, pa.string()),
+            "kind": pa.array(["page"] * np_ + ["cand"] * nn, pa.string()),
             "url": pa.concat_arrays(
                 [fetched["url"].combine_chunks(), new_frontier["url"].combine_chunks()]
             ),
@@ -140,34 +170,80 @@ def crawl_round_batch(
                 [pa.nulls(np_, pa.string()), new_frontier["parent_url"].combine_chunks()]
             ),
             "linked_urls": pa.concat_arrays(
-                [
-                    fetched["linked_urls"].combine_chunks(),
-                    pa.nulls(nn, pa.list_(pa.string())),
-                ]
+                [page_links, pa.nulls(nn, pa.list_(pa.string()))]
             ),
         }
     )
 
 
-def candidate_batch(
-    batch: pa.Table, *, seen_set, depth_ref: "ray.ObjectRef"
+def crawl_round_file_batch(
+    batch: pa.Table,
+    *,
+    url_set_ref: "ray.ObjectRef",
+    depth_ref: "ray.ObjectRef",
+    out_dir: str,
+    keep_html: bool = False,
+    seen_ref: "ray.ObjectRef | None" = None,
+    emit_links: bool = True,
 ) -> pa.Table:
-    """Fused explode + global first-seen admission.
+    """Per-file driver of the fused round stage: input batches carry bucket
+    Parquet file PATHS; each task opens its file directly and runs
+    ``crawl_round_batch`` on it.
+
+    Why not ``read_parquet``: on this Ray version a fresh ``read_parquet``
+    dataset spends several seconds in parquet metadata fetch + decoding-size
+    sampling BEFORE execution starts — measured ~7 s per round vs ~0.3 s
+    this way on a 32-file bucket set. One task per bucket part file is also
+    the right granularity at scale: the bucketize step writes ~128-256 MB
+    parts, so tasks stay uniform without Ray's sampling machinery.
+    """
+    import pyarrow.parquet as pq
+
+    tables = [
+        crawl_round_batch(
+            pq.read_table(path, columns=["url", "html"]),
+            url_set_ref=url_set_ref,
+            depth_ref=depth_ref,
+            out_dir=out_dir,
+            keep_html=keep_html,
+            seen_ref=seen_ref,
+            emit_links=emit_links,
+        )
+        for path in batch["path"].to_pylist()
+    ]
+    return pa.concat_tables(tables)
+
+
+def candidate_batch(
+    batch: pa.Table,
+    *,
+    depth_ref: "ray.ObjectRef",
+    seen_ref: "ray.ObjectRef | None" = None,
+) -> pa.Table:
+    """Explode outlinks to candidate rows, deduped locally within the batch
+    (cuts the metadata volume the driver merges before global admission).
 
     Input: extracted batches (url, linked_urls). For each page, explode its
-    ordered outlinks to (url=link, parent_url, depth=parent_depth+1) rows,
-    dedup locally within the batch (cuts seen-shard RPC volume), then
-    filter to globally first-seen links via the sharded seen-set actor pool
-    (SADD parity, cache.py:91-97; one RPC per touched shard per batch,
-    admission atomic per shard).
+    ordered outlinks to (url=link, parent_url, depth=parent_depth+1) rows.
 
     ``depth_ref`` is the broadcast {url: depth} map of THIS round's frontier
-    (metadata for in-flight pages only, not the whole crawl). Which
-    parallel batch wins a duplicate link is nondeterministic, but final
-    (seq, depth, parent) attribution is recomputed deterministically by the
-    ordering replay — admission here only gates *expansion*.
+    (metadata for in-flight pages only, not the whole crawl).
+
+    ``seen_ref`` (optional) broadcasts the urls already admitted in PRIOR
+    rounds; dropping those links here is exact (a set member can never be
+    first-seen again) and removes the dominant share of candidate traffic —
+    in a web graph most links point at already-crawled pages. At 10^10-URL
+    scale this broadcast becomes the merged Bloom of the seen shards
+    (false positive there would wrongly drop a URL, so the Bloom variant
+    must keep maybe-seen candidates for exact confirm — only
+    definitely-not-seen links skip confirmation).
+
+    Which parallel batch wins a duplicate link is nondeterministic, but
+    final (seq, depth, parent) attribution is recomputed deterministically
+    by the ordering replay — candidates only gate *expansion*.
     """
     depth_map: dict[str, int] = _get_broadcast(depth_ref)
+    seen_prior: set[str] = _get_broadcast(seen_ref) if seen_ref is not None else set()
     parents = batch["url"].to_pylist()
     link_lists = batch["linked_urls"].to_pylist()
     seen_local: set[str] = set()
@@ -177,18 +253,16 @@ def candidate_batch(
     for parent, plinks in zip(parents, link_lists):
         d = depth_map.get(parent, 0) + 1
         for link in plinks or ():
-            if link not in seen_local:
+            if link not in seen_local and link not in seen_prior:
                 seen_local.add(link)
                 links.append(link)
                 out_parents.append(parent)
                 depths.append(d)
-    new_mask = seen_set.admit(links)
-    keep = [i for i, is_new in enumerate(new_mask) if is_new]
     return pa.table(
         {
-            "url": pa.array([links[i] for i in keep], pa.string()),
-            "host": pa.array([host_of(links[i]) for i in keep], pa.string()),
-            "depth": pa.array([depths[i] for i in keep], pa.int32()),
-            "parent_url": pa.array([out_parents[i] for i in keep], pa.string()),
+            "url": pa.array(links, pa.string()),
+            "host": pa.array([host_of(u) for u in links], pa.string()),
+            "depth": pa.array(depths, pa.int32()),
+            "parent_url": pa.array(out_parents, pa.string()),
         }
     )

@@ -31,7 +31,7 @@ from .bloom import BloomFilter
 __all__ = ["SeenShard", "ShardedSeenSet"]
 
 
-@ray.remote(num_cpus=0.25)
+@ray.remote(num_cpus=0)
 class SeenShard:
     """One partition of the URL-seen set."""
 
@@ -67,6 +67,11 @@ class SeenShard:
 
     def size(self) -> int:
         return len(self._exact)
+
+    def contents(self) -> set[str]:
+        """All member urls (resume support; sandbox-scale only — at 10^10
+        URLs resume rebuilds the driver mirror as a merged Bloom instead)."""
+        return self._exact
 
     def snapshot(self) -> bytes:
         return pickle.dumps(
@@ -133,3 +138,21 @@ class ShardedSeenSet:
     def restore(self, snapshots: list[bytes]) -> None:
         assert len(snapshots) == self.num_shards
         ray.get([s.restore.remote(b) for s, b in zip(self.shards, snapshots)])
+
+    def contents(self) -> set[str]:
+        out: set[str] = set()
+        for part in ray.get([s.contents.remote() for s in self.shards]):
+            out |= part
+        return out
+
+    def shutdown(self) -> None:
+        """Kill the shard actors (frees their processes; a pool is NOT
+        reusable afterwards). Pools are cheap but their actor processes
+        outlive references — explicit teardown matters when many pools are
+        created in one session (benches, tests)."""
+        for s in self.shards:
+            try:
+                ray.kill(s)
+            except Exception:
+                pass
+        self.shards = []
