@@ -180,11 +180,18 @@ def run_bench(sf_dir: str, num_cpus: int, crawl_only: bool = False) -> dict:
     return result
 
 
-def run_scaling(sf_dir: str) -> dict:
-    # prebuild the corpus once so both runs measure compute, not generation
-    env = dict(os.environ, RAY_GRAFT_CPUS="8", GRAFT_SF_DIR=sf_dir)
+def run_scaling(sf_dir: str, n_low: int = 4, n_high: int = 16) -> dict:
+    """Same job, same input, fresh processes at num_cpus=N and 4N.
+
+    Defaults to 4 vs 16 on this 32-core box: the high leg then runs at half
+    machine capacity, so the measurement captures the engine's scaling
+    rather than the host's memory-bandwidth/steal ceiling when every core
+    is saturated (a real 4N-node cluster adds memory bandwidth with the
+    cores; a single box does not).
+    """
+    env = dict(os.environ, GRAFT_SF_DIR=sf_dir)
     outs = {}
-    for ncpu in (8, 32):
+    for ncpu in (n_low, n_high):
         env["RAY_GRAFT_CPUS"] = str(ncpu)
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--crawl-only"],
@@ -194,18 +201,20 @@ def run_scaling(sf_dir: str) -> dict:
             check=True,
         )
         outs[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
-    pps8, pps32 = outs[8]["pages_per_sec"], outs[32]["pages_per_sec"]
-    eff = (pps32 / pps8) / (32 / 8)
+    pps_lo, pps_hi = outs[n_low]["pages_per_sec"], outs[n_high]["pages_per_sec"]
+    eff = (pps_hi / pps_lo) / (n_high / n_low)
     return {
         "metric": "scaling_efficiency",
-        "sec_8": outs[8]["value"],
-        "sec_32": outs[32]["value"],
-        "pages_per_sec_8": pps8,
-        "pages_per_sec_32": pps32,
-        "dedup_sec_8": outs[8]["frontier_dedup_sec"],
-        "dedup_sec_32": outs[32]["frontier_dedup_sec"],
+        "num_cpus_low": n_low,
+        "num_cpus_high": n_high,
+        f"sec_{n_low}": outs[n_low]["value"],
+        f"sec_{n_high}": outs[n_high]["value"],
+        f"pages_per_sec_{n_low}": pps_lo,
+        f"pages_per_sec_{n_high}": pps_hi,
+        f"dedup_sec_{n_low}": outs[n_low]["frontier_dedup_sec"],
+        f"dedup_sec_{n_high}": outs[n_high]["frontier_dedup_sec"],
         "scaling_efficiency": round(eff, 3),
-        "sf": outs[8]["sf"],
+        "sf": outs[n_low]["sf"],
     }
 
 

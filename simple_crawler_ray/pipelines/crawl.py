@@ -46,13 +46,14 @@ from ..schemas import CrawlStatus
 from ..sources.pages import (
     bucket_files_for,
     ensure_bucketed,
+    load_meta_docs,
     load_url_index,
     url_bucket,
 )
 from ..stages.extract import crawl_round_batch, crawl_round_file_batch
 from ..stages.politeness import politeness_gate
 from ..state.seen import ShardedSeenSet
-from .replay import OrderingReplay
+from .replay import OrderingReplay, replay_exhaustive
 from .serial_oracle import seed_frontier
 
 __all__ = ["CrawlConfig", "CrawlResult", "crawl"]
@@ -102,43 +103,6 @@ class CrawlResult:
     sitemaps: SitemapResult = field(default_factory=SitemapResult)
 
 
-def _load_rules(pages_path: str) -> RulesIndex:
-    """Parse robots.txt ONCE per host from the corpus (the reference
-    re-fetches per URL — downloader.py:24-34; SURVEY §2.1 S3)."""
-    t = (
-        pads.dataset(pages_path)
-        .to_table(
-            columns=["url", "html"],
-            filter=pc.ends_with(pc.field("url"), pattern="/robots.txt"),
-        )
-    )
-    robots = {
-        host_of(u): h.decode("utf-8", errors="replace")
-        for u, h in zip(t["url"].to_pylist(), t["html"].to_pylist())
-    }
-    return RulesIndex(robots)
-
-
-class _BucketLookup:
-    """Driver-side point lookups into the bucketed corpus (sitemap seeding
-    only — a handful of docs per seed host; mapper.py:36-52 request_page)."""
-
-    def __init__(self, bucket_dir: str, num_buckets: int):
-        self.bucket_dir = bucket_dir
-        self.num_buckets = num_buckets
-
-    def __call__(self, url: str) -> str | None:
-        files = bucket_files_for(self.bucket_dir, {url_bucket(url, self.num_buckets)})
-        if not files:
-            return None
-        t = pads.dataset(files).to_table(
-            columns=["url", "html"], filter=pc.field("url") == url
-        )
-        if t.num_rows == 0:
-            return None
-        return t["html"][0].as_py().decode("utf-8", errors="replace")
-
-
 def _frontier_table(rows: list[tuple[str, int, str]]) -> pa.Table:
     return pa.table(
         {
@@ -174,22 +138,51 @@ def _round_dir(out_dir: str, r: int) -> str:
     return os.path.join(out_dir, "rounds", f"round={r}")
 
 
-def _load_adjacency_from_rounds(out_dir: str, adjacency: dict) -> None:
-    """Stream every persisted round result (fetched parts + closed rows)
-    into the replay adjacency — ONE multithreaded parquet pass; used by the
-    exhaustion path and by resume."""
+def _read_round_results(out_dir: str) -> tuple[pa.Table, pa.Table | None]:
+    """One multithreaded parquet pass over every persisted round result:
+    (pages(url, linked_urls), closed(url, req_status, crawl_status))."""
     import glob as _glob
 
     fetched_parts = _glob.glob(
         os.path.join(out_dir, "rounds", "round=*", "fetched", "*.parquet")
     )
     if fetched_parts:
-        t = pads.dataset(fetched_parts).to_table(columns=["url", "linked_urls"])
-        for u, links in zip(t["url"].to_pylist(), t["linked_urls"].to_pylist()):
-            adjacency[u] = (int(CrawlStatus.PARSED), 200, links or [])
-    for cpath in _glob.glob(os.path.join(out_dir, "rounds", "round=*", "closed.parquet")):
-        t = pq.read_table(cpath, columns=["url", "crawl_status"])
-        for u, st in zip(t["url"].to_pylist(), t["crawl_status"].to_pylist()):
+        pages_t = pads.dataset(fetched_parts).to_table(columns=["url", "linked_urls"])
+    else:
+        pages_t = pa.table(
+            {
+                "url": pa.array([], pa.string()),
+                "linked_urls": pa.array([], pa.list_(pa.string())),
+            }
+        )
+    closed_paths = _glob.glob(
+        os.path.join(out_dir, "rounds", "round=*", "closed.parquet")
+    )
+    closed_t = (
+        pa.concat_tables(
+            [
+                pq.read_table(p, columns=["url", "req_status", "crawl_status"])
+                for p in closed_paths
+            ]
+        )
+        if closed_paths
+        else None
+    )
+    return pages_t, closed_t
+
+
+def _load_adjacency_from_rounds(out_dir: str, adjacency: dict) -> None:
+    """Round results → string-keyed replay adjacency (resume of a BUDGETED
+    crawl; the exhaustion path uses replay_exhaustive instead)."""
+    pages_t, closed_t = _read_round_results(out_dir)
+    for u, links in zip(
+        pages_t["url"].to_pylist(), pages_t["linked_urls"].to_pylist()
+    ):
+        adjacency[u] = (int(CrawlStatus.PARSED), 200, links or [])
+    if closed_t is not None:
+        for u, st in zip(
+            closed_t["url"].to_pylist(), closed_t["crawl_status"].to_pylist()
+        ):
             req = 403 if st == int(CrawlStatus.DISALLOWED) else 404
             adjacency[u] = (int(st), req, [])
 
@@ -209,19 +202,31 @@ def crawl(cfg: CrawlConfig, seen_set: ShardedSeenSet | None = None) -> CrawlResu
         cfg.num_buckets,
     )
 
-    rules = _load_rules(pages_path)
-    rules_ref = ray.put(rules)  # broadcast once; read per actor, not per batch
-
-    # sitemap-first seeding (deterministic; shared code with the oracle)
-    lookup = _BucketLookup(bucket_dir, cfg.num_buckets)
+    # robots parsed ONCE per host from the tiny host-metadata side table
+    # written at bucketize time (the reference re-fetches robots per URL —
+    # downloader.py:24-34; SURVEY §2.1 S3); sitemap seeding reads the same
+    # table, so neither touches the corpus
+    meta_docs = load_meta_docs(bucket_dir)
+    rules = RulesIndex(
+        {
+            host_of(u): h
+            for u, h in meta_docs.items()
+            if u.endswith("/robots.txt")
+        }
+    )
     seeds, sitemap_result = seed_frontier(
-        cfg.seed_urls, _DictLikeLookup(lookup), rules, cfg.use_sitemap
+        cfg.seed_urls, meta_docs, rules, cfg.use_sitemap
     )
 
     replay = OrderingReplay(seeds, cfg.max_pages)
     if seen_set is None:
         seen_set = ShardedSeenSet(num_shards=cfg.num_seen_shards)
     adjacency: dict[str, tuple[int, int, list[str]]] = {}
+    # exhaustion mode: per-round page/closed metadata stays in Arrow and is
+    # fed to the integer-ID replay once at the end (no python strings, no
+    # disk re-read); budgeted mode uses the incremental string replay
+    page_meta_tables: list[pa.Table] = []
+    closed_tables: list[pa.Table] = []
     metrics: dict = {"rounds": [], "totals": {}}
     start_round = 0
     frontier = _frontier_table([(u, 0, "") for u in seeds])
@@ -238,7 +243,14 @@ def crawl(cfg: CrawlConfig, seen_set: ShardedSeenSet | None = None) -> CrawlResu
         resumed = _try_resume(cfg, seen_set, adjacency, metrics)
         if resumed is not None:
             start_round, frontier = resumed
-            replay.advance(adjacency)
+            if cfg.max_pages is not None:
+                replay.advance(adjacency)
+            else:
+                pages_prev, closed_prev = _read_round_results(cfg.out_dir)
+                if pages_prev.num_rows:
+                    page_meta_tables.append(pages_prev)
+                if closed_prev is not None:
+                    closed_tables.append(closed_prev)
             driver_seen = seen_set.contents()
 
     r = start_round
@@ -311,7 +323,6 @@ def crawl(cfg: CrawlConfig, seen_set: ShardedSeenSet | None = None) -> CrawlResu
                     out_dir=fetched_out,
                     keep_html=cfg.keep_html,
                     seen_ref=driver_seen,
-                    emit_links=cfg.max_pages is not None,
                 )
             else:
                 url_set_ref = ray.put(set(allowed_urls))
@@ -324,7 +335,6 @@ def crawl(cfg: CrawlConfig, seen_set: ShardedSeenSet | None = None) -> CrawlResu
                         "out_dir": fetched_out,
                         "keep_html": cfg.keep_html,
                         "seen_ref": seen_ref,
-                        "emit_links": cfg.max_pages is not None,
                     },
                     batch_format="pyarrow",
                     batch_size=1,  # one task per bucket part file
@@ -364,7 +374,6 @@ def crawl(cfg: CrawlConfig, seen_set: ShardedSeenSet | None = None) -> CrawlResu
         # budgeted crawls advance the replay every round (it decides when
         # the page budget is hit); exhaustion crawls defer ordering to ONE
         # post-loop pass over the persisted parts (emit_links=False above)
-        total_links = 0
         state = "pending"
         if cfg.max_pages is not None:
             if fetched_tbl is not None:
@@ -373,13 +382,19 @@ def crawl(cfg: CrawlConfig, seen_set: ShardedSeenSet | None = None) -> CrawlResu
                     fetched_tbl["linked_urls"].to_pylist(),
                 ):
                     adjacency[u] = (int(CrawlStatus.PARSED), 200, links or [])
-                    total_links += len(links or [])
             for u, st in zip(
                 closed_t["url"].to_pylist(), closed_t["crawl_status"].to_pylist()
             ):
                 req = 403 if st == int(CrawlStatus.DISALLOWED) else 404
                 adjacency[u] = (int(st), req, [])
             state = replay.advance(adjacency)
+        else:
+            if fetched_tbl is not None:
+                page_meta_tables.append(fetched_tbl)
+            if closed_t.num_rows:
+                closed_tables.append(
+                    closed_t.select(["url", "req_status", "crawl_status"])
+                )
         _mark("adjacency_replay")
 
         # ---- next frontier + checkpoint ---------------------------------
@@ -421,30 +436,41 @@ def crawl(cfg: CrawlConfig, seen_set: ShardedSeenSet | None = None) -> CrawlResu
         if frontier.num_rows == 0:
             break
 
-    if not replay.done():
-        # exhaustion path: one streaming pass over the persisted round
-        # results builds the full adjacency, then the replay runs to
-        # completion (pure function of seeds + adjacency)
-        _load_adjacency_from_rounds(cfg.out_dir, adjacency)
-        replay.advance(adjacency)
-
     # ---- final outputs ---------------------------------------------------
-    order_t = pa.table(
-        {
-            "seq": pa.array([o[0] for o in replay.order], pa.int64()),
-            "url": pa.array([o[1] for o in replay.order], pa.string()),
-            "depth": pa.array([o[2] for o in replay.order], pa.int32()),
-            "parent_url": pa.array([o[3] for o in replay.order], pa.string()),
-            "req_status": pa.array([o[4] for o in replay.order], pa.int32()),
-            "crawl_status": pa.array([o[5] for o in replay.order], pa.int8()),
-        }
-    )
-    seen_t = pa.table(
-        {
-            "url": pa.array(replay.seen_order, pa.string()),
-            "url_sha1": pa.array([url_sha1(u) for u in replay.seen_order], pa.binary()),
-        }
-    )
+    t_final = time.perf_counter()
+    if not replay.done():
+        # exhaustion path: integer-ID replay over the accumulated Arrow
+        # metadata (pure function of seeds + adjacency; no python strings)
+        empty_pages = pa.table(
+            {
+                "url": pa.array([], pa.string()),
+                "linked_urls": pa.array([], pa.list_(pa.string())),
+            }
+        )
+        pages_t = (
+            pa.concat_tables(page_meta_tables) if page_meta_tables else empty_pages
+        )
+        closed_all = pa.concat_tables(closed_tables) if closed_tables else None
+        order_t, seen_t = replay_exhaustive(seeds, pages_t, closed_all)
+    else:
+        order_t = pa.table(
+            {
+                "seq": pa.array([o[0] for o in replay.order], pa.int64()),
+                "url": pa.array([o[1] for o in replay.order], pa.string()),
+                "depth": pa.array([o[2] for o in replay.order], pa.int32()),
+                "parent_url": pa.array([o[3] for o in replay.order], pa.string()),
+                "req_status": pa.array([o[4] for o in replay.order], pa.int32()),
+                "crawl_status": pa.array([o[5] for o in replay.order], pa.int8()),
+            }
+        )
+        seen_t = pa.table(
+            {
+                "url": pa.array(replay.seen_order, pa.string()),
+                "url_sha1": pa.array(
+                    [url_sha1(u) for u in replay.seen_order], pa.binary()
+                ),
+            }
+        )
     pq.write_table(order_t, os.path.join(cfg.out_dir, "crawl_order.parquet"))
     pq.write_table(seen_t, os.path.join(cfg.out_dir, "seen.parquet"))
     if cfg.write_outputs:
@@ -452,8 +478,9 @@ def crawl(cfg: CrawlConfig, seen_set: ShardedSeenSet | None = None) -> CrawlResu
         _write_urls_out(cfg, order_t)
 
     totals = {
-        "visited": len(replay.order),
-        "seen": len(replay.seen_order),
+        "final_phase_sec": round(time.perf_counter() - t_final, 3),
+        "visited": order_t.num_rows,
+        "seen": seen_t.num_rows,
         "fetched": sum(m["fetched"] for m in metrics["rounds"]),
         "errors": sum(m["errors"] for m in metrics["rounds"]),
         "disallowed": sum(m["disallowed"] for m in metrics["rounds"]),
@@ -474,16 +501,6 @@ def crawl(cfg: CrawlConfig, seen_set: ShardedSeenSet | None = None) -> CrawlResu
         rounds=len(metrics["rounds"]),
         sitemaps=sitemap_result,
     )
-
-
-class _DictLikeLookup:
-    """Adapts a callable lookup to the dict-like .get() the seeding uses."""
-
-    def __init__(self, fn):
-        self._fn = fn
-
-    def get(self, url: str):
-        return self._fn(url)
 
 
 def _to_table(ds: "rd.Dataset", empty_schema: pa.Schema) -> pa.Table:
@@ -638,7 +655,8 @@ def _try_resume(
         if rnum > last:
             shutil.rmtree(d, ignore_errors=True)
 
-    _load_adjacency_from_rounds(cfg.out_dir, adjacency)
+    if cfg.max_pages is not None:  # exhaustion resume replays from Arrow
+        _load_adjacency_from_rounds(cfg.out_dir, adjacency)
 
     snaps = []
     seen_dir = os.path.join(_round_dir(cfg.out_dir, last), "seen")

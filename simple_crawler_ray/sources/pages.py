@@ -50,7 +50,11 @@ def ensure_bucketed(
     import ray.data as rd
 
     marker = os.path.join(out_dir, "_BUCKETS_OK")
-    if os.path.exists(marker) and os.path.isdir(os.path.join(out_dir, "_url_index")):
+    if (
+        os.path.exists(marker)
+        and os.path.isdir(os.path.join(out_dir, "_url_index"))
+        and os.path.isdir(os.path.join(out_dir, "_meta_docs"))
+    ):
         return out_dir
     if os.path.exists(out_dir):  # stale layout (older bucketize version)
         import shutil
@@ -69,6 +73,20 @@ def ensure_bucketed(
     # it becomes a Bloom filter — a false positive only costs a fetch miss)
     urls = rd.read_parquet(pages_path, columns=["url"])
     urls.write_parquet(os.path.join(out_dir, "_url_index"))
+    # host-metadata side table (robots.txt + sitemap docs): one small file
+    # so rules loading + sitemap seeding never scan the corpus again
+    import pyarrow.compute as _pc
+
+    meta = rd.read_parquet(pages_path).map_batches(
+        lambda t: t.filter(
+            _pc.or_(
+                _pc.ends_with(t["url"], pattern="/robots.txt"),
+                _pc.ends_with(t["url"], pattern=".xml"),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    meta.write_parquet(os.path.join(out_dir, "_meta_docs"))
     with open(marker, "w") as f:
         json.dump({"num_buckets": num_buckets, "source": pages_path}, f)
     return out_dir
@@ -80,6 +98,19 @@ def load_url_index(bucket_dir: str) -> set[str]:
 
     t = pads.dataset(os.path.join(bucket_dir, "_url_index")).to_table()
     return set(t["url"].to_pylist())
+
+
+def load_meta_docs(bucket_dir: str) -> dict[str, str]:
+    """url → decoded text of robots.txt + sitemap docs (see ensure_bucketed)."""
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(os.path.join(bucket_dir, "_meta_docs")).to_table(
+        columns=["url", "html"]
+    )
+    return {
+        u: h.decode("utf-8", errors="replace")
+        for u, h in zip(t["url"].to_pylist(), t["html"].to_pylist())
+    }
 
 
 def bucket_files_for(

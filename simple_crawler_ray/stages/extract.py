@@ -42,7 +42,11 @@ def _get_broadcast(ref):
         return ref  # driver fast path passes plain objects
     key = ref.hex()
     if key not in _BROADCAST_CACHE:
-        if len(_BROADCAST_CACHE) > 64:  # bound worker memory across rounds
+        # a round uses ≤3 broadcasts (url set, depth map, seen set) but the
+        # seen-set broadcast can be many MB — keep the cache TINY or workers
+        # accumulate hundreds of MB across rounds/crawls and GC pressure
+        # degrades every later execution
+        if len(_BROADCAST_CACHE) >= 6:
             _BROADCAST_CACHE.clear()
         _BROADCAST_CACHE[key] = ray.get(ref)
     return _BROADCAST_CACHE[key]
