@@ -62,12 +62,24 @@ def url_sha1(url: str) -> bytes:
     return hashlib.sha1(canonicalize(url).encode("utf-8")).digest()
 
 
-def shard_of(url: str, num_shards: int) -> int:
+def shard_of(url: str, num_shards: int, salt: dict[str, int] | None = None) -> int:
     """Stable shard id for the seen-set actor pool: hash of the *host* so all
     URLs of one host land on one shard (host-affine partitioning; SURVEY §7.3).
+
+    ``salt`` maps HOT hosts to a salt factor k>1: their URLs spread over k
+    consecutive shards (keyed by hash(url), so routing stays deterministic
+    per url) — the explicit hot-host salting of the north_star. Dedup
+    exactness is unaffected: a url always routes to the same shard.
     """
-    h = hashlib.sha1(host_of(url).encode("utf-8")).digest()
-    return int.from_bytes(h[:4], "big") % num_shards
+    host = host_of(url)
+    h = hashlib.sha1(host.encode("utf-8")).digest()
+    base = int.from_bytes(h[:4], "big")
+    if salt:
+        k = salt.get(host, 1)
+        if k > 1:
+            hu = hashlib.sha1(url.encode("utf-8")).digest()
+            base += int.from_bytes(hu[:4], "big") % k
+    return base % num_shards
 
 
 def absolutize(base_url: str, href: str) -> str:

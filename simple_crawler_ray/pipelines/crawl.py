@@ -91,6 +91,18 @@ class CrawlConfig:
     # instead of a Ray Data execution (a tiny round's ~1-2 s pipeline launch
     # dwarfs its compute; seed/straggler rounds hit this constantly)
     small_round_threshold: int = 512
+    # fetch retries per url (reference RETRIES=3, main.py:71 /
+    # configuration.py:29). A corpus miss is deterministic, so retries only
+    # defer the eventual ERROR row by N rounds — outputs are invariant; the
+    # mechanism exists for parity with the reference's per-url retry loop.
+    retries: int = 1
+    # round-robin host-fair frontier ordering via a Ray groupby+sort shuffle
+    # before the gate (north_star priority frontier; scheduling-only)
+    fair_frontier: bool = False
+    # auto hot-host salting of the seen shards (north_star skew handling):
+    # hosts holding > 2x their fair share of corpus pages get their URLs
+    # spread over multiple shards
+    hot_host_salting: bool = True
 
 
 @dataclass
@@ -187,6 +199,73 @@ def _load_adjacency_from_rounds(out_dir: str, adjacency: dict) -> None:
             adjacency[u] = (int(st), req, [])
 
 
+def _append_run_event(cfg: CrawlConfig, event: str) -> None:
+    """Run start/complete events — reference `runs` table rows published by
+    DatabaseManager.start_run/complete_run (data.py:117-140)."""
+    path = os.path.join(cfg.out_dir, "run_manifest.json")
+    events = []
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                events = json.load(f)
+        except Exception:
+            events = []
+    events.append(
+        {
+            "run_id": cfg.run_id,
+            "seed_url": cfg.seed_urls[0] if cfg.seed_urls else "",
+            "max_pages": cfg.max_pages,
+            "event": event,
+            "event_time": int(time.time()),
+        }
+    )
+    with open(path, "w") as f:
+        json.dump(events, f, indent=2)
+
+
+def _hot_host_salt(bucket_dir: str, num_shards: int) -> dict[str, int]:
+    """Salt factors for hosts holding > 2x their fair share of corpus pages
+    (north_star skew handling): spread a hot host over ~its share of
+    shards so one shard never owns a whole hot host."""
+    from collections import Counter
+
+    t = pads.dataset(os.path.join(bucket_dir, "_url_index")).to_table()
+    hosts = Counter(host_of(u) for u in t["url"].to_pylist())
+    total = sum(hosts.values()) or 1
+    fair = total / max(1, len(hosts))
+    salt = {}
+    for h, n in hosts.items():
+        if n > 2 * fair:
+            salt[h] = min(num_shards, max(2, round(n / fair)))
+    return salt
+
+
+def prioritize_frontier(frontier: pa.Table) -> pa.Table:
+    """Round-robin host-fair frontier ordering via a Ray groupby+sort
+    shuffle (north_star priority frontier: groupby(host) → aggregate →
+    sort). Scheduling-only: changes which rows win per-round politeness
+    budgets/caps first, never the final crawl graph (the replay owns
+    output ordering)."""
+    import pandas as pd
+
+    def rank_within_host(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["rank"] = range(len(g))
+        return g
+
+    ds = rd.from_arrow(frontier)
+    out = (
+        ds.groupby("host")
+        .map_groups(rank_within_host, batch_format="pandas")
+        .sort(["rank", "host"])
+    )
+    tables = [
+        t for t in out.iter_batches(batch_format="pyarrow", batch_size=None)
+    ]
+    merged = pa.concat_tables(tables) if tables else frontier
+    return merged.select(["url", "host", "depth", "parent_url"])
+
+
 def crawl(cfg: CrawlConfig, seen_set: ShardedSeenSet | None = None) -> CrawlResult:
     """Run the crawl. ``seen_set`` may be injected (pre-created/warmed shard
     pool — used by the bench to keep actor cold-start out of the timed
@@ -218,9 +297,18 @@ def crawl(cfg: CrawlConfig, seen_set: ShardedSeenSet | None = None) -> CrawlResu
         cfg.seed_urls, meta_docs, rules, cfg.use_sitemap
     )
 
+    # run-events manifest (reference `runs` table start/complete rows,
+    # data.py:117-140)
+    _append_run_event(cfg, "start")
+
     replay = OrderingReplay(seeds, cfg.max_pages)
     if seen_set is None:
-        seen_set = ShardedSeenSet(num_shards=cfg.num_seen_shards)
+        salt = (
+            _hot_host_salt(bucket_dir, cfg.num_seen_shards)
+            if cfg.hot_host_salting
+            else None
+        )
+        seen_set = ShardedSeenSet(num_shards=cfg.num_seen_shards, salt=salt)
     adjacency: dict[str, tuple[int, int, list[str]]] = {}
     # exhaustion mode: per-round page/closed metadata stays in Arrow and is
     # fed to the integer-ID replay once at the end (no python strings, no
@@ -238,6 +326,7 @@ def crawl(cfg: CrawlConfig, seen_set: ShardedSeenSet | None = None) -> CrawlResu
     driver_seen: set[str] = set(frontier["url"].to_pylist())
     # corpus URL index: dead links 404 without touching a bucket file
     corpus_urls = load_url_index(bucket_dir)
+    retry_counts: dict[str, int] = {}
 
     if cfg.resume:
         resumed = _try_resume(cfg, seen_set, adjacency, metrics)
@@ -266,6 +355,9 @@ def crawl(cfg: CrawlConfig, seen_set: ShardedSeenSet | None = None) -> CrawlResu
         rdir = _round_dir(cfg.out_dir, r)
         os.makedirs(rdir, exist_ok=True)
 
+        if cfg.fair_frontier and frontier.num_rows > cfg.small_round_threshold:
+            frontier = prioritize_frontier(frontier)
+
         # ---- politeness gate (robots + token bucket) --------------------
         gate = politeness_gate(frontier, rules, cfg.round_seconds)
         allowed, deferred = gate.allowed, gate.deferred
@@ -282,13 +374,26 @@ def crawl(cfg: CrawlConfig, seen_set: ShardedSeenSet | None = None) -> CrawlResu
             gate.disallowed, 403, int(CrawlStatus.DISALLOWED)
         )
 
-        # ---- corpus-index split: in-corpus → fetch; missing → 404 now ----
+        # ---- corpus-index split: in-corpus → fetch; missing → retry/404 --
         present_mask = pa.array(
             [u in corpus_urls for u in allowed["url"].to_pylist()], pa.bool_()
         )
-        missed_t = _closed_rows_table(
-            allowed.filter(pc.invert(present_mask)), 404, int(CrawlStatus.ERROR)
-        )
+        missing = allowed.filter(pc.invert(present_mask))
+        if cfg.retries > 1 and missing.num_rows:
+            # per-url retry loop (reference main.py:71): re-queue the miss
+            # up to retries-1 times before closing it as ERROR
+            retry_mask = []
+            for u in missing["url"].to_pylist():
+                attempts = retry_counts.get(u, 0) + 1
+                retry_counts[u] = attempts
+                retry_mask.append(attempts < cfg.retries)
+            retry_rows = missing.filter(pa.array(retry_mask, pa.bool_()))
+            missing = missing.filter(
+                pa.array([not m for m in retry_mask], pa.bool_())
+            )
+            if retry_rows.num_rows:
+                deferred = pa.concat_tables([deferred, retry_rows])
+        missed_t = _closed_rows_table(missing, 404, int(CrawlStatus.ERROR))
         allowed = allowed.filter(present_mask)
         allowed_urls = allowed["url"].to_pylist()
         _mark("gate")
@@ -492,6 +597,7 @@ def crawl(cfg: CrawlConfig, seen_set: ShardedSeenSet | None = None) -> CrawlResu
     metrics["totals"] = totals
     with open(os.path.join(cfg.out_dir, "metrics.json"), "w") as f:
         json.dump(metrics, f, indent=2)
+    _append_run_event(cfg, "complete")
 
     return CrawlResult(
         out_dir=cfg.out_dir,
@@ -529,6 +635,10 @@ def _write_sitemaps_out(cfg: CrawlConfig, sm: SitemapResult) -> None:
         }
     )
     pq.write_table(t, os.path.join(cfg.out_dir, "sitemaps.parquet"))
+    # index_url → member sitemap urls JSON side-output (reference
+    # sitemap_indexes.json, mapper.py:122-123)
+    with open(os.path.join(cfg.out_dir, "sitemap_indexes.json"), "w") as f:
+        json.dump(sm.indexes, f, default=str, indent=4)
 
 
 def _write_urls_out(cfg: CrawlConfig, order_t: pa.Table) -> None:

@@ -90,14 +90,20 @@ class ShardedSeenSet:
     """Client for the shard pool. Safe to use from the driver and from
     inside ``map_batches`` worker tasks (handles are serializable)."""
 
-    def __init__(self, num_shards: int = 8, num_bits: int = 1 << 22):
+    def __init__(
+        self,
+        num_shards: int = 8,
+        num_bits: int = 1 << 22,
+        salt: dict[str, int] | None = None,
+    ):
         self.num_shards = num_shards
+        self.salt = salt  # hot-host salt factors (see urlkit.shard_of)
         self.shards = [SeenShard.remote(num_bits=num_bits) for _ in range(num_shards)]
 
     def _group(self, urls: list[str]) -> dict[int, list[int]]:
         groups: dict[int, list[int]] = defaultdict(list)
         for i, url in enumerate(urls):
-            groups[shard_of(url, self.num_shards)].append(i)
+            groups[shard_of(url, self.num_shards, self.salt)].append(i)
         return groups
 
     def admit(self, urls: list[str]) -> list[bool]:
