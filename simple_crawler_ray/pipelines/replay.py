@@ -102,7 +102,10 @@ def replay_exhaustive(
         if row >= 0:
             s, e = offsets[row], offsets[row + 1]
             d = depth + 1
-            for lid in link_ids[s:e]:
+            lids = link_ids[s:e]
+            unseen = lids[~seen[lids]]  # vectorized pre-filter: the python
+            # loop below only touches first-discoveries (+ same-page dups)
+            for lid in unseen:
                 if not seen[lid]:
                     seen[lid] = True
                     seen_order.append(int(lid))
