@@ -49,11 +49,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q7_distinct_event_types": rel.q7_distinct_event_types,
         "q8_hourly_events": rel.q8_hourly_events,
         "q9_union_counts": rel.q9_union_counts,
+        "q10_above_avg_customers": rel.q10_above_avg_customers,
+        "q11_value_extremes": rel.q11_value_extremes,
         # -- text analysis -------------------------------------------------
         "t1_token_stats": tx.t1_token_stats,
         "t2_quality_score": tx.t2_quality_score,
         "t3_langid": tx.t3_langid,
         "t4_fingerprint": tx.t4_fingerprint,
+        "t5_chunk_documents": tx.t5_chunk_documents,
         # -- dedup family --------------------------------------------------
         "d1_exact_dedup": dd.d1_exact_dedup,
         "d2_minhash_lsh": dd.d2_minhash_lsh,
@@ -64,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s2_ann_lsh": sim.s2_ann_lsh,
         # -- stream-shaped + multimodal plumbing --------------------------
         "e1_sessionize": ev.e1_sessionize,
+        "e2_topk_users": ev.e2_topk_users,
         "m1_binary_features": mm.m1_binary_features,
     }
 
@@ -137,6 +141,34 @@ def oracle_sql() -> dict[str, str]:
                 SELECT event_type FROM events WHERE event_type = 'error'
             )
             GROUP BY event_type
+        """,
+        "q10_above_avg_customers": """
+            SELECT c_nationkey, count(*) AS n_above_avg
+            FROM customer
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+            GROUP BY c_nationkey
+        """,
+        "q11_value_extremes": """
+            SELECT event_type,
+                   round(min(value), 6) AS min_value,
+                   round(max(value), 6) AS max_value,
+                   round(sum(value), 4) AS sum_value,
+                   count(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "e2_topk_users": """
+            SELECT user_id, round(sum(value), 4) AS total_value,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id
+            ORDER BY sum(value) DESC, user_id
+            LIMIT 10
+        """,
+        "t5_chunk_documents": """
+            SELECT doc_id, i AS chunk_idx,
+                   substr(text, CAST(i * 200 + 1 AS BIGINT), 200) AS chunk_text
+            FROM documents
+            JOIN (SELECT CAST(range AS BIGINT) AS i FROM range(0, 100)) n
+              ON i * 200 < length(text)
         """,
         "t1_token_stats": r"""
             SELECT lang,

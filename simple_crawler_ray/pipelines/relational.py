@@ -38,6 +38,8 @@ __all__ = [
     "q7_distinct_event_types",
     "q8_hourly_events",
     "q9_union_counts",
+    "q10_above_avg_customers",
+    "q11_value_extremes",
 ]
 
 
@@ -288,6 +290,58 @@ def q8_hourly_events(sf_dir: str):
             "hour_epoch": agg["hour_epoch"].astype("int64"),
             "n_events": agg["n"].astype("int64"),
             "sum_value": agg["val"].round(4),
+        }
+    )
+
+
+def q10_above_avg_customers(sf_dir: str):
+    """Scalar-subquery pattern: global aggregate computed first (one tiny
+    result), broadcast into a vectorized filter, then grouped count —
+    the two-phase shape that replaces correlated subqueries at scale."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_acctbal"]
+    )
+    avg_bal = ds.mean("c_acctbal")
+
+    def over_avg(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["c_acctbal"], pa.scalar(avg_bal)))
+
+    agg = (
+        ds.map_batches(over_avg, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "c_nationkey": agg["c_nationkey"].astype("int64"),
+            "n_above_avg": agg["n"].astype("int64"),
+        }
+    )
+
+
+def q11_value_extremes(sf_dir: str):
+    """Min/Max/Sum/Count grouped aggregates over the events stream."""
+    from ray.data.aggregate import Max, Min
+
+    agg = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+        .groupby("event_type")
+        .aggregate(
+            Min("value", alias_name="vmin"),
+            Max("value", alias_name="vmax"),
+            Sum("value", alias_name="vsum"),
+            Count(alias_name="n"),
+        )
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "event_type": agg["event_type"],
+            "min_value": agg["vmin"].round(6),
+            "max_value": agg["vmax"].round(6),
+            "sum_value": agg["vsum"].round(4),
+            "n": agg["n"].astype("int64"),
         }
     )
 

@@ -14,7 +14,13 @@ import pandas as pd
 import ray.data as rd
 from ray.data.aggregate import Sum
 
-__all__ = ["t1_token_stats", "t2_quality_score", "t3_langid", "t4_fingerprint"]
+__all__ = [
+    "t1_token_stats",
+    "t2_quality_score",
+    "t3_langid",
+    "t4_fingerprint",
+    "t5_chunk_documents",
+]
 
 _WS_SPLIT = re.compile(r"\s+")
 _PUNCT = re.compile(r"[^\w\s]")
@@ -114,6 +120,31 @@ def t3_langid(sf_dir: str):
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         predict, batch_format="pandas", batch_size=4096
+    )
+
+
+def t5_chunk_documents(sf_dir: str, chunk_chars: int = 200):
+    """Fixed-size document chunking (the LLM-training-data sharding op):
+    explode each doc into (doc_id, chunk_idx, chunk_text) rows inside
+    map_batches — a flat-map over zero-copy batches."""
+
+    def chunk(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, idxs, chunks = [], [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            for i in range(0, max(1, len(text)), chunk_chars):
+                ids.append(int(doc_id))
+                idxs.append(i // chunk_chars)
+                chunks.append(text[i : i + chunk_chars])
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "chunk_idx": pd.Series(idxs, dtype="int64"),
+                "chunk_text": chunks,
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        chunk, batch_format="pandas", batch_size=4096
     )
 
 
