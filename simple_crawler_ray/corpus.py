@@ -75,8 +75,8 @@ class CorpusSpec:
             n_pages=n_pages,
             n_hosts=n_hosts,
             branch=32,
-            extra_links=50,
-            n_paragraphs=45,
+            extra_links=40,
+            n_paragraphs=30,
             seed=seed,
         )
 
