@@ -21,7 +21,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
-from ray.data.aggregate import Count, Min
 
 __all__ = [
     "d1_exact_dedup",
@@ -83,18 +82,24 @@ def d1_exact_dedup(sf_dir: str):
         batch_format="pyarrow",
     )
 
-    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
+    def partial_dedup(batch: pd.DataFrame) -> pd.DataFrame:
+        # partial per-batch combine (one row per hash per batch); a Ray
+        # groupby over ~n_docs single-row groups costs far more than the
+        # whole stream, so partials merge on the driver (ray_guide §agg)
         batch["content_md5"] = batch["text"].map(
             lambda s: hashlib.md5(s.encode("utf-8")).hexdigest()
         )
-        return batch[["doc_id", "content_md5"]]
+        return batch.groupby("content_md5", as_index=False).agg(
+            p_min=("doc_id", "min"), p_n=("doc_id", "size")
+        )
 
-    agg = (
+    partials = (
         docs.union(dupes)
-        .map_batches(add_hash, batch_format="pandas", batch_size=4096)
-        .groupby("content_md5")
-        .aggregate(Min("doc_id", alias_name="canonical_doc_id"), Count(alias_name="n_copies"))
+        .map_batches(partial_dedup, batch_format="pandas", batch_size=4096)
         .to_pandas()
+    )
+    agg = partials.groupby("content_md5", as_index=False).agg(
+        canonical_doc_id=("p_min", "min"), n_copies=("p_n", "sum")
     )
     return pd.DataFrame(
         {

@@ -82,8 +82,16 @@ def politeness_gate(
             dmask = ~hurls.map(host_rules.can_fetch).to_numpy(dtype=bool)
         disallowed[idx] = dmask
 
-        if round_seconds is not None and host_rules.crawl_delay:
-            budget = max(1, int(round_seconds // host_rules.crawl_delay))
+        if round_seconds is not None and (
+            host_rules.crawl_delay or host_rules.request_rate
+        ):
+            budget = None
+            if host_rules.crawl_delay:
+                budget = max(1, int(round_seconds // host_rules.crawl_delay))
+            if host_rules.request_rate:
+                req, per = host_rules.request_rate
+                rate_budget = max(1, int(req * round_seconds / max(per, 1e-9)))
+                budget = rate_budget if budget is None else min(budget, rate_budget)
             ok = ~dmask
             over_budget = ok.cumsum() > budget
             deferred[idx] = ok & over_budget
