@@ -543,7 +543,8 @@ def crawl(cfg: CrawlConfig, seen_set: ShardedSeenSet | None = None) -> CrawlResu
 
     # ---- final outputs ---------------------------------------------------
     t_final = time.perf_counter()
-    if not replay.done():
+    truncated = not replay.done() and r >= cfg.max_rounds
+    if not replay.done() and cfg.max_pages is None:
         # exhaustion path: integer-ID replay over the accumulated Arrow
         # metadata (pure function of seeds + adjacency; no python strings)
         empty_pages = pa.table(
@@ -594,10 +595,13 @@ def crawl(cfg: CrawlConfig, seen_set: ShardedSeenSet | None = None) -> CrawlResu
         "wall_sec": round(time.perf_counter() - t_start, 4),
     }
     totals["pages_per_sec"] = round(totals["fetched"] / max(totals["wall_sec"], 1e-9), 2)
+    totals["truncated"] = truncated
     metrics["totals"] = totals
     with open(os.path.join(cfg.out_dir, "metrics.json"), "w") as f:
         json.dump(metrics, f, indent=2)
-    _append_run_event(cfg, "complete")
+    # a max_rounds-truncated run is NOT complete (reference logs `complete`
+    # only via complete_run at normal teardown, data.py:132-140)
+    _append_run_event(cfg, "truncated" if truncated else "complete")
 
     return CrawlResult(
         out_dir=cfg.out_dir,
@@ -765,7 +769,9 @@ def _try_resume(
         if rnum > last:
             shutil.rmtree(d, ignore_errors=True)
 
-    if cfg.max_pages is not None:  # exhaustion resume replays from Arrow
+    if cfg.max_pages is not None:  # budgeted resume: rebuild the string-
+        # keyed adjacency so the incremental replay re-advances; exhaustion
+        # resume instead re-reads the persisted rounds post-loop
         _load_adjacency_from_rounds(cfg.out_dir, adjacency)
 
     snaps = []

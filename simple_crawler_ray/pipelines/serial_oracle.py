@@ -68,17 +68,24 @@ def seed_frontier(
             scheme, netloc, _ = parse_url(seed_url)
             base = f"{scheme}://{netloc}"
             host_rules = rules.for_host(netloc)
-            if host_rules.robots_text is not None:
-                sitemaps = list(host_rules.sitemaps)
-                source = sitemaps[0] if sitemaps else f"{base}/sitemap-index.xml"
-                for candidate in (source, f"{base}/sitemap.xml"):
-                    contents = corpus.get(candidate)
-                    if contents is None:
-                        continue
-                    before = len(sm.admitted)
-                    recurse_sitemap(candidate, contents, corpus.get, sm, index="root")
-                    locs = sm.admitted[before:]
-                    break
+            # the fallback chain runs even with NO robots.txt: the reference
+            # GETs robots unconditionally (a 404 body parses as empty robots
+            # → no Sitemap: entries) and still tries /sitemap-index.xml then
+            # /sitemap.xml (mapper.py:138-153, downloader.py:36-44)
+            sitemaps = (
+                list(host_rules.sitemaps)
+                if host_rules.robots_text is not None
+                else []
+            )
+            source = sitemaps[0] if sitemaps else f"{base}/sitemap-index.xml"
+            for candidate in (source, f"{base}/sitemap.xml"):
+                contents = corpus.get(candidate)
+                if contents is None:
+                    continue
+                before = len(sm.admitted)
+                recurse_sitemap(candidate, contents, corpus.get, sm, index="root")
+                locs = sm.admitted[before:]
+                break
         admitted.extend(locs if locs else [seed_url])
     return admitted, sm
 

@@ -43,18 +43,22 @@ class SeenShard:
         """SADD semantics: True iff the URL was not seen before (first-seen
         wins; atomic within the shard). cf. reference cache.py:91-97.
 
-        Vectorized: one batched Bloom probe for all urls; Bloom-negative →
-        definitely new (no exact lookup); Bloom-positive → exact confirm
-        (a false positive must never drop a URL)."""
+        The exact set is consulted unconditionally so intra-batch
+        duplicates also report False (a pre-computed Bloom maybe-vector
+        goes stale as soon as the first insert of the batch happens; SADD
+        semantics must hold within one admit() call too). At 10^10 scale,
+        where the exact store is disk-backed, the Bloom-negative shortcut
+        returns (skips the disk probe) but must still consult the batch's
+        own in-RAM insert buffer."""
         keys = [canonicalize(u).encode("utf-8") for u in urls]
-        maybe = self._bloom.contains_many(keys)
         out: list[bool] = []
         new_keys: list[bytes] = []
-        for url, key, m in zip(urls, keys, maybe):
-            if m and url in self._exact:
+        exact = self._exact
+        for url, key in zip(urls, keys):
+            if url in exact:
                 out.append(False)
             else:
-                self._exact.add(url)
+                exact.add(url)
                 new_keys.append(key)
                 out.append(True)
         self._bloom.add_many(new_keys)

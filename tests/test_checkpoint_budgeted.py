@@ -29,6 +29,25 @@ def test_budgeted_resume_matches_fresh(ray_session, small_corpus_dir, tmp_path):
     assert resumed.seen.equals(fresh.seen)
 
 
+def test_budgeted_truncated_by_max_rounds(ray_session, small_corpus_dir, tmp_path):
+    """A budgeted crawl cut off by max_rounds must emit the PARTIAL replay
+    order (a prefix of the fresh run's order), not empty outputs, and must
+    not log a `complete` run event."""
+    import json
+
+    budget = 40
+    fresh = crawl(_cfg(small_corpus_dir, str(tmp_path / "full"), max_pages=budget))
+    out = str(tmp_path / "trunc")
+    part = crawl(_cfg(small_corpus_dir, out, max_pages=budget, max_rounds=2))
+    assert 0 < part.order.num_rows <= fresh.order.num_rows
+    assert part.order.equals(fresh.order.slice(0, part.order.num_rows))
+    assert part.seen["url"].to_pylist() == fresh.seen["url"].to_pylist()[: part.seen.num_rows]
+    with open(f"{out}/run_manifest.json") as f:
+        events = [e["event"] for e in json.load(f)]
+    assert events[-1] == "truncated"
+    assert part.metrics["totals"]["truncated"] is True
+
+
 def test_budget_larger_than_reachable(ray_session, small_corpus_dir, tmp_path):
     """A budget above the reachable component behaves like exhaustion."""
     t = pq.read_table(f"{small_corpus_dir}/pages.parquet")

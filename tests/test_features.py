@@ -47,6 +47,32 @@ def test_salted_seen_set_still_exact(ray_session):
     seen.shutdown()
 
 
+def test_sitemap_fallback_without_robots():
+    """A robots-less host still gets the /sitemap-index.xml → /sitemap.xml
+    fallback chain (reference GETs robots unconditionally and a 404 body
+    parses as empty robots; mapper.py:138-153, downloader.py:36-44)."""
+    from simple_crawler_ray.functions.robots import RulesIndex
+    from simple_crawler_ray.pipelines.serial_oracle import seed_frontier
+
+    base = "https://bare.example"
+    corpus = {
+        f"{base}/sitemap.xml": (
+            '<?xml version="1.0"?>\n<urlset>\n'
+            f"  <url><loc>{base}/</loc><priority>0.9</priority></url>\n"
+            "</urlset>\n"
+        ),
+        f"{base}/": "<html><body>root</body></html>",
+    }
+    rules = RulesIndex({})  # no robots anywhere
+    seeds, sm = seed_frontier([base], corpus, rules, use_sitemap=True)
+    assert seeds == [f"{base}/"]  # sitemap loc, not the bare seed
+    assert sm.details and sm.details[0]["status"] == "Success"
+
+    # and with NO sitemap either, the bare seed is the fallback
+    seeds2, _ = seed_frontier(["https://none.example"], {}, rules, True)
+    assert seeds2 == ["https://none.example"]
+
+
 def test_run_events_and_sitemap_json(ray_session, small_corpus_dir, tmp_path):
     out = str(tmp_path / "run")
     crawl(
