@@ -47,7 +47,6 @@ from ..sources.pages import (
     bucket_files_for,
     ensure_bucketed,
     load_meta_docs,
-    load_url_index,
     url_bucket,
 )
 from ..stages.extract import crawl_round_batch, crawl_round_file_batch
@@ -60,11 +59,8 @@ __all__ = ["CrawlConfig", "CrawlResult", "crawl"]
 
 _META_SCHEMA = pa.schema(
     [
-        ("kind", pa.string()),
         ("url", pa.string()),
         ("host", pa.string()),
-        ("depth", pa.int32()),
-        ("parent_url", pa.string()),
         ("linked_urls", pa.list_(pa.string())),
     ]
 )
@@ -103,6 +99,16 @@ class CrawlConfig:
     # hosts holding > 2x their fair share of corpus pages get their URLs
     # spread over multiple shards
     hot_host_salting: bool = True
+    # exhaustion-mode adjacency feed for the final ordering replay:
+    # False (default) → per-round page→links metadata returns with the round
+    # execution and accumulates as Arrow on the driver (shipping overlaps
+    # the distributed rounds; final phase = replay only, measured ~1 s at
+    # sf0.1). True → rounds return url-only metadata (emit_links=False) and
+    # the replay re-reads the persisted parts in parallel Ray tasks after
+    # the loop — the 10^10-scale path (driver never holds O(links) memory),
+    # at the cost of a post-loop read on the critical path. Budgeted crawls
+    # always ship per-round adjacency (the replay gates termination).
+    adjacency_via_disk: bool = False
 
 
 @dataclass
@@ -151,14 +157,30 @@ def _round_dir(out_dir: str, r: int) -> str:
 
 
 def _read_round_results(out_dir: str) -> tuple[pa.Table, pa.Table | None]:
-    """One multithreaded parquet pass over every persisted round result:
-    (pages(url, linked_urls), closed(url, req_status, crawl_status))."""
+    """One column-pruned parquet pass over every persisted round result:
+    (pages(url, linked_urls), closed(url, req_status, crawl_status)).
+    Decoding millions of link strings dominates, so the part files are
+    read/decoded in parallel Ray tasks (the serial replay only starts once
+    the adjacency metadata is assembled — keep its feed off one core)."""
     import glob as _glob
 
     fetched_parts = _glob.glob(
         os.path.join(out_dir, "rounds", "round=*", "fetched", "*.parquet")
     )
-    if fetched_parts:
+    if len(fetched_parts) > 8 and ray.is_initialized():
+
+        @ray.remote
+        def _read_part(paths: list[str]) -> pa.Table:
+            import pyarrow.dataset as _pads
+
+            return _pads.dataset(paths).to_table(columns=["url", "linked_urls"])
+
+        n_chunks = min(32, len(fetched_parts))
+        chunks = [fetched_parts[i::n_chunks] for i in range(n_chunks)]
+        pages_t = pa.concat_tables(
+            ray.get([_read_part.remote(c) for c in chunks])
+        )
+    elif fetched_parts:
         pages_t = pads.dataset(fetched_parts).to_table(columns=["url", "linked_urls"])
     else:
         pages_t = pa.table(
@@ -226,11 +248,11 @@ def _append_run_event(cfg: CrawlConfig, event: str) -> None:
 def _hot_host_salt(bucket_dir: str, num_shards: int) -> dict[str, int]:
     """Salt factors for hosts holding > 2x their fair share of corpus pages
     (north_star skew handling): spread a hot host over ~its share of
-    shards so one shard never owns a whole hot host."""
-    from collections import Counter
-
-    t = pads.dataset(os.path.join(bucket_dir, "_url_index")).to_table()
-    hosts = Counter(host_of(u) for u in t["url"].to_pylist())
+    shards so one shard never owns a whole hot host. Reads the tiny
+    per-host count side table written at bucketize time (O(hosts), never
+    the URL index)."""
+    t = pq.read_table(os.path.join(bucket_dir, "_host_counts.parquet"))
+    hosts = dict(zip(t["host"].to_pylist(), t["n"].to_pylist()))
     total = sum(hosts.values()) or 1
     fair = total / max(1, len(hosts))
     salt = {}
@@ -309,23 +331,24 @@ def crawl(cfg: CrawlConfig, seen_set: ShardedSeenSet | None = None) -> CrawlResu
             else None
         )
         seen_set = ShardedSeenSet(num_shards=cfg.num_seen_shards, salt=salt)
+    # budgeted mode: per-round adjacency feeds the incremental string
+    # replay (it decides when the page budget is hit). exhaustion mode:
+    # Arrow adjacency accumulates per round for ONE final integer-ID
+    # replay — or, with adjacency_via_disk, never transits the driver and
+    # is re-read from the persisted rounds post-loop (see CrawlConfig)
     adjacency: dict[str, tuple[int, int, list[str]]] = {}
-    # exhaustion mode: per-round page/closed metadata stays in Arrow and is
-    # fed to the integer-ID replay once at the end (no python strings, no
-    # disk re-read); budgeted mode uses the incremental string replay
+    emit_links = cfg.max_pages is not None or not cfg.adjacency_via_disk
     page_meta_tables: list[pa.Table] = []
     closed_tables: list[pa.Table] = []
     metrics: dict = {"rounds": [], "totals": {}}
     start_round = 0
     frontier = _frontier_table([(u, 0, "") for u in seeds])
-    # seed admission (SADD on seed, cache.py:91-97 via main.py:33)
+    # seed admission (SADD on seed, cache.py:91-97 via main.py:33).
+    # NOTE: no driver-side seen mirror and no driver-side corpus URL index
+    # exist — the host-affine seen shards are both filter and authority
+    # (admission pushes go task→shard), and corpus misses fall out of the
+    # post-fetch found-diff. Driver state is O(frontier metadata).
     seen_set.admit(frontier["url"].to_pylist())
-    # driver-side mirror of the seen set, broadcast per round so tasks drop
-    # already-seen links before they ship (exact filter; at 10^10 scale this
-    # becomes the merged shard Bloom — see stages/extract.candidate_batch)
-    driver_seen: set[str] = set(frontier["url"].to_pylist())
-    # corpus URL index: dead links 404 without touching a bucket file
-    corpus_urls = load_url_index(bucket_dir)
     retry_counts: dict[str, int] = {}
 
     if cfg.resume:
@@ -334,13 +357,14 @@ def crawl(cfg: CrawlConfig, seen_set: ShardedSeenSet | None = None) -> CrawlResu
             start_round, frontier = resumed
             if cfg.max_pages is not None:
                 replay.advance(adjacency)
-            else:
+            elif not cfg.adjacency_via_disk:
+                # exhaustion resume, RAM mode: reload prior rounds' results
+                # once so the final replay sees the whole crawl
                 pages_prev, closed_prev = _read_round_results(cfg.out_dir)
                 if pages_prev.num_rows:
                     page_meta_tables.append(pages_prev)
                 if closed_prev is not None:
                     closed_tables.append(closed_prev)
-            driver_seen = seen_set.contents()
 
     r = start_round
     while r < cfg.max_rounds:
@@ -373,12 +397,84 @@ def crawl(cfg: CrawlConfig, seen_set: ShardedSeenSet | None = None) -> CrawlResu
         disallowed_t = _closed_rows_table(
             gate.disallowed, 403, int(CrawlStatus.DISALLOWED)
         )
+        allowed_urls = allowed["url"].to_pylist()
+        _mark("gate")
 
-        # ---- corpus-index split: in-corpus → fetch; missing → retry/404 --
-        present_mask = pa.array(
-            [u in corpus_urls for u in allowed["url"].to_pylist()], pa.bool_()
-        )
-        missing = allowed.filter(pc.invert(present_mask))
+        # ---- fetch (pruned bucket read + broadcast semi-join) + extract
+        # + persist + shard-partitioned admission pushes — ONE fused Ray
+        # Data execution per round. Corpus misses (dead links) fall out of
+        # the post-fetch found-diff, so no corpus URL index is consulted.
+        fetched_tbl = None
+        n_fetched = 0
+        missing = allowed.slice(0, 0)
+        new_frontier_tbl = _empty_frontier()
+        candidates_admitted = 0
+        candidates_seen = 0
+        if allowed_urls:
+            buckets = {url_bucket(u, cfg.num_buckets) for u in allowed_urls}
+            files = bucket_files_for(bucket_dir, buckets)
+            depth_map = dict(zip(allowed_urls, allowed["depth"].to_pylist()))
+            fetched_out = os.path.join(rdir, "fetched")
+            if os.path.isdir(fetched_out):  # stale partial round (pre-crash)
+                import shutil
+
+                shutil.rmtree(fetched_out)
+            if len(allowed_urls) <= cfg.small_round_threshold:
+                # driver fast path: point-lookup fetch + inline extraction —
+                # no Ray Data execution for seed/straggler rounds
+                tbl = pads.dataset(files).to_table(
+                    columns=["url", "html"],
+                    filter=pc.field("url").isin(allowed_urls),
+                ) if files else pa.table({"url": pa.array([], pa.string()),
+                                          "html": pa.array([], pa.binary())})
+                meta_tbl = crawl_round_batch(
+                    tbl,
+                    url_set_ref=set(allowed_urls),
+                    depth_ref=depth_map,
+                    out_dir=fetched_out,
+                    keep_html=cfg.keep_html,
+                    seen_pool=seen_set,
+                    emit_links=emit_links,
+                )
+            else:
+                url_set_ref = ray.put(set(allowed_urls))
+                depth_ref = ray.put(depth_map)
+                meta_ds = rd.from_items([{"path": p} for p in files]).map_batches(
+                    crawl_round_file_batch,
+                    fn_kwargs={
+                        "url_set_ref": url_set_ref,
+                        "depth_ref": depth_ref,
+                        "out_dir": fetched_out,
+                        "keep_html": cfg.keep_html,
+                        "seen_pool": seen_set,
+                        "emit_links": emit_links,
+                    },
+                    batch_format="pyarrow",
+                    batch_size=1,  # one task per bucket part file
+                )
+                meta_tbl = _to_table(meta_ds, _META_SCHEMA)
+            n_fetched = meta_tbl.num_rows
+            if emit_links:
+                fetched_tbl = meta_tbl.select(["url", "linked_urls"])
+            # post-fetch found-diff: frontier rows whose URL is not in the
+            # corpus close as fetch errors (vectorized is_in; exact — no
+            # Bloom/driver-set involved)
+            present_mask = pc.is_in(
+                allowed["url"].combine_chunks(),
+                value_set=meta_tbl["url"].combine_chunks(),
+            )
+            missing = allowed.filter(pc.invert(present_mask))
+            _mark("fetch_extract")
+            # ---- distributed admission drain: every push was acked inside
+            # the round execution, so one RPC per shard collects the
+            # admitted (first-seen) rows = the newly discovered frontier
+            admitted_t, received = seen_set.drain_admitted()
+            if admitted_t is not None:
+                new_frontier_tbl = admitted_t
+            candidates_admitted = new_frontier_tbl.num_rows
+            candidates_seen = received
+            _mark("admission_drain")
+
         if cfg.retries > 1 and missing.num_rows:
             # per-url retry loop (reference main.py:71): re-queue the miss
             # up to retries-1 times before closing it as ERROR
@@ -394,82 +490,6 @@ def crawl(cfg: CrawlConfig, seen_set: ShardedSeenSet | None = None) -> CrawlResu
             if retry_rows.num_rows:
                 deferred = pa.concat_tables([deferred, retry_rows])
         missed_t = _closed_rows_table(missing, 404, int(CrawlStatus.ERROR))
-        allowed = allowed.filter(present_mask)
-        allowed_urls = allowed["url"].to_pylist()
-        _mark("gate")
-
-        # ---- fetch (pruned bucket read + broadcast semi-join) + extract
-        # + persist + candidates — ONE fused Ray Data execution per round
-        fetched_tbl = None
-        new_frontier_tbl = _empty_frontier()
-        candidates_admitted = 0
-        candidates_seen = 0
-        if allowed_urls:
-            buckets = {url_bucket(u, cfg.num_buckets) for u in allowed_urls}
-            files = bucket_files_for(bucket_dir, buckets)
-            depth_map = dict(zip(allowed_urls, allowed["depth"].to_pylist()))
-            seen_ref = ray.put(driver_seen)
-            fetched_out = os.path.join(rdir, "fetched")
-            if os.path.isdir(fetched_out):  # stale partial round (pre-crash)
-                import shutil
-
-                shutil.rmtree(fetched_out)
-            if len(allowed_urls) <= cfg.small_round_threshold:
-                # driver fast path: point-lookup fetch + inline extraction —
-                # no Ray Data execution for seed/straggler rounds
-                tbl = pads.dataset(files).to_table(
-                    columns=["url", "html"],
-                    filter=pc.field("url").isin(allowed_urls),
-                )
-                meta_tbl = crawl_round_batch(
-                    tbl,
-                    url_set_ref=set(allowed_urls),
-                    depth_ref=depth_map,
-                    out_dir=fetched_out,
-                    keep_html=cfg.keep_html,
-                    seen_ref=driver_seen,
-                )
-            else:
-                url_set_ref = ray.put(set(allowed_urls))
-                depth_ref = ray.put(depth_map)
-                meta_ds = rd.from_items([{"path": p} for p in files]).map_batches(
-                    crawl_round_file_batch,
-                    fn_kwargs={
-                        "url_set_ref": url_set_ref,
-                        "depth_ref": depth_ref,
-                        "out_dir": fetched_out,
-                        "keep_html": cfg.keep_html,
-                        "seen_ref": seen_ref,
-                    },
-                    batch_format="pyarrow",
-                    batch_size=1,  # one task per bucket part file
-                )
-                meta_tbl = _to_table(meta_ds, _META_SCHEMA)
-            is_page = pc.equal(meta_tbl["kind"], "page")
-            fetched_tbl = meta_tbl.filter(is_page).select(["url", "linked_urls"])
-            cand_tbl = meta_tbl.filter(pc.invert(is_page)).select(
-                ["url", "host", "depth", "parent_url"]
-            )
-            # global first-seen admission: merge the (metadata-only)
-            # candidates, then one batched parallel RPC sweep over the
-            # seen-set shards (see crawl_round_batch docstring for why this
-            # runs on the driver, not inside the map tasks)
-            uniq: dict[str, int] = {}
-            c_urls = cand_tbl["url"].to_pylist()
-            for i, u in enumerate(c_urls):
-                if u not in uniq:
-                    uniq[u] = i
-            uniq_idx = list(uniq.values())
-            new_mask = seen_set.admit([c_urls[i] for i in uniq_idx])
-            keep_idx = pa.array(
-                [i for i, is_new in zip(uniq_idx, new_mask) if is_new], pa.int64()
-            )
-            new_frontier_tbl = cand_tbl.take(keep_idx)
-            candidates_admitted = new_frontier_tbl.num_rows
-            candidates_seen = cand_tbl.num_rows
-            driver_seen.update(new_frontier_tbl["url"].to_pylist())
-        found = set(allowed_urls)  # corpus-index split guarantees presence
-        _mark("fetch_extract")
 
         closed_t = pa.concat_tables([disallowed_t, missed_t])
         if closed_t.num_rows:
@@ -478,7 +498,8 @@ def crawl(cfg: CrawlConfig, seen_set: ShardedSeenSet | None = None) -> CrawlResu
         # ---- update adjacency + replay ----------------------------------
         # budgeted crawls advance the replay every round (it decides when
         # the page budget is hit); exhaustion crawls defer ordering to ONE
-        # post-loop pass over the persisted parts (emit_links=False above)
+        # post-loop disk pass over the persisted parts (emit_links=False,
+        # so per-page link lists never transit the driver mid-crawl)
         state = "pending"
         if cfg.max_pages is not None:
             if fetched_tbl is not None:
@@ -493,7 +514,7 @@ def crawl(cfg: CrawlConfig, seen_set: ShardedSeenSet | None = None) -> CrawlResu
                 req = 403 if st == int(CrawlStatus.DISALLOWED) else 404
                 adjacency[u] = (int(st), req, [])
             state = replay.advance(adjacency)
-        else:
+        elif not cfg.adjacency_via_disk:
             if fetched_tbl is not None:
                 page_meta_tables.append(fetched_tbl)
             if closed_t.num_rows:
@@ -519,14 +540,14 @@ def crawl(cfg: CrawlConfig, seen_set: ShardedSeenSet | None = None) -> CrawlResu
         round_metrics = {
             "round": r,
             "phases": phase_t,
-            "fetched": len(found),
+            "fetched": n_fetched,
             "errors": int(missed_t.num_rows),
             "disallowed": int(disallowed_t.num_rows),
             "deferred": int(deferred.num_rows),
             "admitted_new": int(candidates_admitted),
-            # duplicates that crossed the task-local filters and were
-            # rejected by the global first-seen admission (in-task filtered
-            # duplicates never reach the driver and aren't counted)
+            # candidate rows pushed to the shards and rejected as already
+            # seen (task-local in-batch duplicates never ship and aren't
+            # counted)
             "deduped": int(candidates_seen - candidates_admitted),
             "frontier_next": int(frontier.num_rows),
             "wall_sec": round(time.perf_counter() - round_t0, 4),
@@ -545,18 +566,26 @@ def crawl(cfg: CrawlConfig, seen_set: ShardedSeenSet | None = None) -> CrawlResu
     t_final = time.perf_counter()
     truncated = not replay.done() and r >= cfg.max_rounds
     if not replay.done() and cfg.max_pages is None:
-        # exhaustion path: integer-ID replay over the accumulated Arrow
-        # metadata (pure function of seeds + adjacency; no python strings)
-        empty_pages = pa.table(
-            {
-                "url": pa.array([], pa.string()),
-                "linked_urls": pa.array([], pa.list_(pa.string())),
-            }
-        )
-        pages_t = (
-            pa.concat_tables(page_meta_tables) if page_meta_tables else empty_pages
-        )
-        closed_all = pa.concat_tables(closed_tables) if closed_tables else None
+        # exhaustion path: integer-ID replay over pure Arrow metadata —
+        # accumulated per round (default) or re-read from the persisted
+        # rounds in parallel Ray tasks (adjacency_via_disk; scale path)
+        if cfg.adjacency_via_disk:
+            pages_t, closed_all = _read_round_results(cfg.out_dir)
+        else:
+            empty_pages = pa.table(
+                {
+                    "url": pa.array([], pa.string()),
+                    "linked_urls": pa.array([], pa.list_(pa.string())),
+                }
+            )
+            pages_t = (
+                pa.concat_tables(page_meta_tables)
+                if page_meta_tables
+                else empty_pages
+            )
+            closed_all = (
+                pa.concat_tables(closed_tables) if closed_tables else None
+            )
         order_t, seen_t = replay_exhaustive(seeds, pages_t, closed_all)
     else:
         order_t = pa.table(

@@ -104,12 +104,13 @@ def crawl_round_batch(
     depth_ref: "ray.ObjectRef",
     out_dir: str,
     keep_html: bool = False,
-    seen_ref: "ray.ObjectRef | None" = None,
+    seen_pool=None,
     emit_links: bool = True,
 ) -> pa.Table:
     """The WHOLE crawl round as one fused stage → one Ray Data execution per
-    round (fetch-filter → extract → persist → explode+local-dedup), so the
-    per-round fixed cost is a single pipeline, not four.
+    round (fetch-filter → extract → persist → explode+local-dedup →
+    shard-partitioned admission push), so the per-round fixed cost is a
+    single pipeline, not four.
 
     ``emit_links=False`` drops the per-page linked_urls from the RETURNED
     metadata (they are always persisted in the parquet part): an exhaustion
@@ -119,22 +120,24 @@ def crawl_round_batch(
     biggest serial cost at scale. A budgeted crawl needs them per round so
     the replay can decide termination.
 
-    Side effect: persists the full extracted rows (incl. text/html) as a
+    Side effect 1: persists the full extracted rows (incl. text/html) as a
     Parquet part file under ``out_dir`` — the checkpoint/results unit. The
     part filename is a content hash so a retried task overwrites its own
     output instead of duplicating it.
 
-    Returns ONLY small metadata rows, tagged by ``kind``:
-      kind="page": url, host, linked_urls        (adjacency for the replay)
-      kind="cand": url, host, depth, parent_url  (locally-deduped candidates)
+    Side effect 2 — DISTRIBUTED ADMISSION (SADD parity, cache.py:91-97):
+    locally-deduped candidate rows are pushed directly to their host-affine
+    seen-set shard actors (``seen_pool.push_candidates``) — candidate
+    metadata never transits the driver, and the driver holds NO seen-set
+    mirror (O(1) driver state). The push acks are awaited before the task
+    returns, so a finished round execution implies every shard has
+    processed its pushes; the driver then collects the admitted rows with
+    one ``drain_admitted`` RPC per shard. A retried task re-pushes, which
+    is safe: shard admission is exact and idempotent per URL.
 
-    Global first-seen admission (SADD parity) runs on the DRIVER against the
-    sharded seen-set actors: a blocking actor RPC from inside a map task
-    parks the worker in ray.get, which makes Ray spawn extra (cold) workers
-    and triggers an import storm mid-round — measured far slower than
-    funneling the (tiny) candidate metadata through the driver. At
-    multi-node scale the distributed alternative is a shard-partitioned
-    groupby(shard) stage whose per-group task talks to exactly one shard.
+    Returns ONLY small per-page metadata rows:
+    ``(url, host, linked_urls)`` — adjacency for the budgeted replay, and
+    the ``found`` set for the post-fetch corpus-miss diff.
     """
     import hashlib
     import os
@@ -149,10 +152,17 @@ def crawl_round_batch(
         os.makedirs(out_dir, exist_ok=True)
         pq.write_table(fetched, os.path.join(out_dir, f"part-{key}.parquet"))
 
-    new_frontier = candidate_batch(
-        fetched.select(["url", "linked_urls"]), depth_ref=depth_ref, seen_ref=seen_ref
-    )
-    np_, nn = fetched.num_rows, new_frontier.num_rows
+    if seen_pool is not None and fetched.num_rows:
+        candidates = candidate_batch(
+            fetched.select(["url", "linked_urls"]),
+            depth_ref=depth_ref,
+            num_shards=seen_pool.num_shards,
+            salt=seen_pool.salt,
+        )
+        if candidates.num_rows:
+            ray.get(seen_pool.push_candidates(candidates))
+
+    np_ = fetched.num_rows
     page_links = (
         fetched["linked_urls"].combine_chunks()
         if emit_links
@@ -160,22 +170,9 @@ def crawl_round_batch(
     )
     return pa.table(
         {
-            "kind": pa.array(["page"] * np_ + ["cand"] * nn, pa.string()),
-            "url": pa.concat_arrays(
-                [fetched["url"].combine_chunks(), new_frontier["url"].combine_chunks()]
-            ),
-            "host": pa.concat_arrays(
-                [fetched["host"].combine_chunks(), new_frontier["host"].combine_chunks()]
-            ),
-            "depth": pa.concat_arrays(
-                [pa.nulls(np_, pa.int32()), new_frontier["depth"].combine_chunks()]
-            ),
-            "parent_url": pa.concat_arrays(
-                [pa.nulls(np_, pa.string()), new_frontier["parent_url"].combine_chunks()]
-            ),
-            "linked_urls": pa.concat_arrays(
-                [page_links, pa.nulls(nn, pa.list_(pa.string()))]
-            ),
+            "url": fetched["url"].combine_chunks(),
+            "host": fetched["host"].combine_chunks(),
+            "linked_urls": page_links,
         }
     )
 
@@ -187,7 +184,7 @@ def crawl_round_file_batch(
     depth_ref: "ray.ObjectRef",
     out_dir: str,
     keep_html: bool = False,
-    seen_ref: "ray.ObjectRef | None" = None,
+    seen_pool=None,
     emit_links: bool = True,
 ) -> pa.Table:
     """Per-file driver of the fused round stage: input batches carry bucket
@@ -210,7 +207,7 @@ def crawl_round_file_batch(
             depth_ref=depth_ref,
             out_dir=out_dir,
             keep_html=keep_html,
-            seen_ref=seen_ref,
+            seen_pool=seen_pool,
             emit_links=emit_links,
         )
         for path in batch["path"].to_pylist()
@@ -222,32 +219,30 @@ def candidate_batch(
     batch: pa.Table,
     *,
     depth_ref: "ray.ObjectRef",
-    seen_ref: "ray.ObjectRef | None" = None,
+    num_shards: int = 8,
+    salt: dict | None = None,
 ) -> pa.Table:
     """Explode outlinks to candidate rows, deduped locally within the batch
-    (cuts the metadata volume the driver merges before global admission).
+    (cuts the admission-push volume), with the destination seen-set shard
+    precomputed per row (host-affine ``shard_of``; SURVEY §7.3 — dedup,
+    politeness and admission share one partitioning key).
 
     Input: extracted batches (url, linked_urls). For each page, explode its
-    ordered outlinks to (url=link, parent_url, depth=parent_depth+1) rows.
+    ordered outlinks to (url=link, parent_url, depth=parent_depth+1, shard)
+    rows.
 
     ``depth_ref`` is the broadcast {url: depth} map of THIS round's frontier
     (metadata for in-flight pages only, not the whole crawl).
 
-    ``seen_ref`` (optional) broadcasts the urls already admitted in PRIOR
-    rounds; dropping those links here is exact (a set member can never be
-    first-seen again) and removes the dominant share of candidate traffic —
-    in a web graph most links point at already-crawled pages. At 10^10-URL
-    scale this broadcast becomes the merged Bloom of the seen shards
-    (false positive there would wrongly drop a URL, so the Bloom variant
-    must keep maybe-seen candidates for exact confirm — only
-    definitely-not-seen links skip confirmation).
-
-    Which parallel batch wins a duplicate link is nondeterministic, but
-    final (seq, depth, parent) attribution is recomputed deterministically
-    by the ordering replay — candidates only gate *expansion*.
+    Cross-round/cross-task duplicate links are NOT filtered here — the
+    host-affine shard that receives the push is both the filter and the
+    authority (exact first-seen), so no broadcast seen-mirror exists
+    anywhere. Which parallel batch wins a duplicate link is
+    nondeterministic, but final (seq, depth, parent) attribution is
+    recomputed deterministically by the ordering replay — candidates only
+    gate *expansion*.
     """
     depth_map: dict[str, int] = _get_broadcast(depth_ref)
-    seen_prior: set[str] = _get_broadcast(seen_ref) if seen_ref is not None else set()
     parents = batch["url"].to_pylist()
     link_lists = batch["linked_urls"].to_pylist()
     seen_local: set[str] = set()
@@ -257,16 +252,21 @@ def candidate_batch(
     for parent, plinks in zip(parents, link_lists):
         d = depth_map.get(parent, 0) + 1
         for link in plinks or ():
-            if link not in seen_local and link not in seen_prior:
+            if link not in seen_local:
                 seen_local.add(link)
                 links.append(link)
                 out_parents.append(parent)
                 depths.append(d)
+    from ..functions.urlkit import shard_of
+
     return pa.table(
         {
             "url": pa.array(links, pa.string()),
             "host": pa.array([host_of(u) for u in links], pa.string()),
             "depth": pa.array(depths, pa.int32()),
             "parent_url": pa.array(out_parents, pa.string()),
+            "shard": pa.array(
+                [shard_of(u, num_shards, salt) for u in links], pa.int32()
+            ),
         }
     )

@@ -23,6 +23,7 @@ from __future__ import annotations
 import pickle
 from collections import defaultdict
 
+import pyarrow as pa
 import ray
 
 from ..functions.urlkit import canonicalize, shard_of
@@ -38,6 +39,36 @@ class SeenShard:
     def __init__(self, num_bits: int = 1 << 22):
         self._bloom = BloomFilter(num_bits=num_bits)
         self._exact: set[str] = set()
+        # per-round accumulators for the distributed admission stage:
+        # extract tasks push candidate row tables here (shard-affine, no
+        # driver transit); the driver drains the admitted rows per round
+        self._admitted_rows: list[pa.Table] = []
+        self._round_received = 0
+
+    def push_candidates(self, table: pa.Table) -> int:
+        """Distributed admission sink: admit a candidate row table
+        ``(url, host, depth, parent_url)`` pushed directly from an extract
+        task (the shard-partitioned stage of stages/extract.py — candidate
+        metadata never transits the driver). First-seen rows accumulate
+        for ``drain_admitted``; which concurrent discovery wins is
+        nondeterministic, but the ordering replay recomputes final
+        attribution deterministically. Returns rows received (the ack the
+        pushing task awaits)."""
+        n = table.num_rows
+        self._round_received += n
+        mask = self.admit(table["url"].to_pylist())
+        if any(mask):
+            self._admitted_rows.append(table.filter(pa.array(mask, pa.bool_())))
+        return n
+
+    def drain_admitted(self) -> tuple[pa.Table | None, int]:
+        """End-of-round: return (admitted rows this round, rows received
+        this round) and reset the round accumulators."""
+        t = pa.concat_tables(self._admitted_rows) if self._admitted_rows else None
+        received = self._round_received
+        self._admitted_rows = []
+        self._round_received = 0
+        return t, received
 
     def admit(self, urls: list[str]) -> list[bool]:
         """SADD semantics: True iff the URL was not seen before (first-seen
@@ -87,6 +118,8 @@ class SeenShard:
         state = pickle.loads(data)
         self._bloom = BloomFilter.from_bytes(state["bloom"])
         self._exact = state["exact"]
+        self._admitted_rows = []
+        self._round_received = 0
         return len(self._exact)
 
 
@@ -109,6 +142,33 @@ class ShardedSeenSet:
         for i, url in enumerate(urls):
             groups[shard_of(url, self.num_shards, self.salt)].append(i)
         return groups
+
+    def push_candidates(self, table: pa.Table) -> list["ray.ObjectRef"]:
+        """Shard-partitioned admission push (called from INSIDE extract
+        tasks): slice the candidate table by its precomputed ``shard``
+        column (vectorized) and push each slice to its one shard actor.
+        Returns the ack refs — the caller ``ray.get``s them so a finished
+        Ray Data execution implies every push has been processed."""
+        import pyarrow.compute as pc
+
+        if table.num_rows == 0:
+            return []
+        shard_ids = table["shard"]
+        payload = table.drop_columns(["shard"])
+        refs = []
+        for s in pc.unique(shard_ids).to_pylist():
+            slice_t = payload.filter(pc.equal(shard_ids, s))
+            refs.append(self.shards[s].push_candidates.remote(slice_t))
+        return refs
+
+    def drain_admitted(self) -> tuple[pa.Table | None, int]:
+        """Collect every shard's admitted rows for the round (the next
+        frontier) + total candidate rows received. One RPC per shard."""
+        parts = ray.get([s.drain_admitted.remote() for s in self.shards])
+        tables = [t for t, _ in parts if t is not None]
+        received = sum(n for _, n in parts)
+        merged = pa.concat_tables(tables) if tables else None
+        return merged, received
 
     def admit(self, urls: list[str]) -> list[bool]:
         """Batched first-seen admission; one RPC per touched shard."""

@@ -61,6 +61,23 @@ def test_budget_larger_than_reachable(ray_session, small_corpus_dir, tmp_path):
     assert res.seen["url"].to_pylist() == golden.seen
 
 
+def test_adjacency_via_disk_matches_ram(ray_session, small_corpus_dir, tmp_path):
+    """The 10^10-scale adjacency path (emit_links=False + post-loop
+    parallel disk re-read) must produce identical outputs to the default
+    RAM-accumulated path."""
+    ram = crawl(_cfg(small_corpus_dir, str(tmp_path / "ram"), max_pages=None))
+    disk = crawl(
+        _cfg(
+            small_corpus_dir,
+            str(tmp_path / "disk"),
+            max_pages=None,
+            adjacency_via_disk=True,
+        )
+    )
+    assert disk.order.equals(ram.order)
+    assert disk.seen.equals(ram.seen)
+
+
 def test_empty_seed_list(ray_session, small_corpus_dir, tmp_path):
     res = crawl(_cfg(small_corpus_dir, str(tmp_path / "empty"), seed_urls=[]))
     assert res.order.num_rows == 0
