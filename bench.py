@@ -237,7 +237,7 @@ def run_bench(sf_dir: str, num_cpus: int, crawl_only: bool = False) -> dict:
     return result
 
 
-def run_scaling(sf_dir: str, n_low: int = 4, n_high: int = 16) -> dict:
+def run_scaling(sf_dir: str, n_low: int = 4, n_high: int = 16, legs: int = 2) -> dict:
     """Same job, same input, fresh processes at num_cpus=N and 4N.
 
     Defaults to 4 vs 16 on this 32-core box: the high leg then runs at half
@@ -245,19 +245,28 @@ def run_scaling(sf_dir: str, n_low: int = 4, n_high: int = 16) -> dict:
     rather than the host's memory-bandwidth/steal ceiling when every core
     is saturated (a real 4N-node cluster adds memory bandwidth with the
     cores; a single box does not).
+
+    Noise protocol: this host's effective throughput swings ~2x in waves
+    that /proc/stat steal does not capture, so the legs are INTERLEAVED
+    (low, high, low, high, ...) ``legs`` times and each side keeps its
+    best (minimum-wall) attempt — both sides sample the same windows, and
+    a clean window bounds the engine's capability at each CPU count.
+    Per-attempt walls are reported alongside for transparency.
     """
     env = dict(os.environ, GRAFT_SF_DIR=sf_dir)
-    outs = {}
-    for ncpu in (n_low, n_high):
-        env["RAY_GRAFT_CPUS"] = str(ncpu)
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--crawl-only"],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        )
-        outs[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
+    attempts: dict[int, list[dict]] = {n_low: [], n_high: []}
+    for _ in range(legs):
+        for ncpu in (n_low, n_high):
+            env["RAY_GRAFT_CPUS"] = str(ncpu)
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--crawl-only"],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            attempts[ncpu].append(json.loads(proc.stdout.strip().splitlines()[-1]))
+    outs = {n: min(a, key=lambda o: o["value"]) for n, a in attempts.items()}
     pps_lo, pps_hi = outs[n_low]["pages_per_sec"], outs[n_high]["pages_per_sec"]
     eff = (pps_hi / pps_lo) / (n_high / n_low)
     return {
@@ -271,6 +280,9 @@ def run_scaling(sf_dir: str, n_low: int = 4, n_high: int = 16) -> dict:
         f"dedup_sec_{n_low}": outs[n_low]["frontier_dedup_sec"],
         f"dedup_sec_{n_high}": outs[n_high]["frontier_dedup_sec"],
         "scaling_efficiency": round(eff, 3),
+        "attempt_walls": {
+            str(n): [o["value"] for o in a] for n, a in attempts.items()
+        },
         "sf": outs[n_low]["sf"],
     }
 

@@ -293,6 +293,11 @@ def crawl(cfg: CrawlConfig, seen_set: ShardedSeenSet | None = None) -> CrawlResu
     pool — used by the bench to keep actor cold-start out of the timed
     section, and by tests); by default a fresh pool is created."""
     t_start = time.perf_counter()
+    import uuid
+
+    # per-invocation epoch for the workers' push filters (a resume rolls
+    # shard state back to a snapshot, so filters must never carry over)
+    push_epoch = uuid.uuid4().hex
     os.makedirs(cfg.out_dir, exist_ok=True)
     pages_path = os.path.join(cfg.corpus_dir, "pages.parquet")
 
@@ -435,6 +440,7 @@ def crawl(cfg: CrawlConfig, seen_set: ShardedSeenSet | None = None) -> CrawlResu
                     keep_html=cfg.keep_html,
                     seen_pool=seen_set,
                     emit_links=emit_links,
+                    push_epoch=push_epoch,
                 )
             else:
                 url_set_ref = ray.put(set(allowed_urls))
@@ -448,6 +454,7 @@ def crawl(cfg: CrawlConfig, seen_set: ShardedSeenSet | None = None) -> CrawlResu
                         "keep_html": cfg.keep_html,
                         "seen_pool": seen_set,
                         "emit_links": emit_links,
+                        "push_epoch": push_epoch,
                     },
                     batch_format="pyarrow",
                     batch_size=1,  # one task per bucket part file

@@ -35,6 +35,8 @@ __all__ = [
 
 # per-worker-process cache of deserialized broadcast objects
 _BROADCAST_CACHE: dict[str, object] = {}
+# per-worker cumulative sub-step timings (SCR_TASKPROF=1 diagnostics only)
+_TASKPROF: dict = {}
 
 
 def _get_broadcast(ref):
@@ -106,6 +108,7 @@ def crawl_round_batch(
     keep_html: bool = False,
     seen_pool=None,
     emit_links: bool = True,
+    push_epoch: str | None = None,
 ) -> pa.Table:
     """The WHOLE crawl round as one fused stage → one Ray Data execution per
     round (fetch-filter → extract → persist → explode+local-dedup →
@@ -141,26 +144,44 @@ def crawl_round_batch(
     """
     import hashlib
     import os
+    import time as _time
 
     import pyarrow.parquet as pq
 
+    _t0 = _time.perf_counter()
     fetched = fetch_extract_batch(batch, url_set_ref=url_set_ref, keep_html=keep_html)
+    _t1 = _time.perf_counter()
     if fetched.num_rows:
         key = hashlib.sha1(
             ("|".join(fetched["url"].to_pylist()[:3]) + str(fetched.num_rows)).encode()
         ).hexdigest()[:16]
         os.makedirs(out_dir, exist_ok=True)
         pq.write_table(fetched, os.path.join(out_dir, f"part-{key}.parquet"))
+    _t2 = _time.perf_counter()
 
+    _t3 = _t2
     if seen_pool is not None and fetched.num_rows:
         candidates = candidate_batch(
             fetched.select(["url", "linked_urls"]),
             depth_ref=depth_ref,
             num_shards=seen_pool.num_shards,
             salt=seen_pool.salt,
+            push_epoch=push_epoch,
         )
+        _t3 = _time.perf_counter()
         if candidates.num_rows:
             ray.get(seen_pool.push_candidates(candidates))
+    _t4 = _time.perf_counter()
+    if os.environ.get("SCR_TASKPROF"):
+        _TASKPROF["extract"] = _TASKPROF.get("extract", 0) + (_t1 - _t0)
+        _TASKPROF["write"] = _TASKPROF.get("write", 0) + (_t2 - _t1)
+        _TASKPROF["cand"] = _TASKPROF.get("cand", 0) + (_t3 - _t2)
+        _TASKPROF["push"] = _TASKPROF.get("push", 0) + (_t4 - _t3)
+        _TASKPROF["n"] = _TASKPROF.get("n", 0) + fetched.num_rows
+        import json as _json
+
+        with open(f"/tmp/scr_taskprof_{os.getpid()}.json", "w") as _f:
+            _json.dump(_TASKPROF, _f)
 
     np_ = fetched.num_rows
     page_links = (
@@ -186,6 +207,7 @@ def crawl_round_file_batch(
     keep_html: bool = False,
     seen_pool=None,
     emit_links: bool = True,
+    push_epoch: str | None = None,
 ) -> pa.Table:
     """Per-file driver of the fused round stage: input batches carry bucket
     Parquet file PATHS; each task opens its file directly and runs
@@ -209,10 +231,24 @@ def crawl_round_file_batch(
             keep_html=keep_html,
             seen_pool=seen_pool,
             emit_links=emit_links,
+            push_epoch=push_epoch,
         )
         for path in batch["path"].to_pylist()
     ]
     return pa.concat_tables(tables)
+
+
+# worker-persistent push filter: keys this WORKER PROCESS already pushed to
+# the shards during the current crawl epoch. Dropping a re-discovered key is
+# always safe (its shard has already arbitrated it), so this is an EXACT
+# traffic filter with no broadcast and no driver state — in a web graph a
+# popular URL is re-linked ~in-degree times, and this caps its pushes at
+# once per worker instead. Keyed by a per-crawl-invocation epoch so a new
+# crawl (or a resume, whose shard state was rolled back to a snapshot)
+# never inherits stale entries. Memory is bounded by the safety valve; an
+# eviction only costs a redundant push, never correctness.
+_PUSH_FILTER: dict = {"epoch": None, "keys": set()}
+_PUSH_FILTER_CAP = 8_000_000  # ~160 MB of sha1 keys per worker, worst case
 
 
 def candidate_batch(
@@ -221,44 +257,57 @@ def candidate_batch(
     depth_ref: "ray.ObjectRef",
     num_shards: int = 8,
     salt: dict | None = None,
+    push_epoch: str | None = None,
 ) -> pa.Table:
-    """Explode outlinks to candidate rows, deduped locally within the batch
-    (cuts the admission-push volume), with the destination seen-set shard
-    precomputed per row (host-affine ``shard_of``; SURVEY §7.3 — dedup,
-    politeness and admission share one partitioning key).
+    """Explode outlinks to candidate rows, deduped against everything this
+    worker already pushed (exact; cuts the admission-push volume), with the
+    destination seen-set shard precomputed per row (host-affine
+    ``shard_of``; SURVEY §7.3 — dedup, politeness and admission share one
+    partitioning key) and the SADD dedup key (``sha1(raw_url)``) shipped
+    as a column so the shard actor does no per-URL hashing.
 
     Input: extracted batches (url, linked_urls). For each page, explode its
-    ordered outlinks to (url=link, parent_url, depth=parent_depth+1, shard)
-    rows.
+    ordered outlinks to (url=link, parent_url, depth=parent_depth+1,
+    shard, key) rows.
 
     ``depth_ref`` is the broadcast {url: depth} map of THIS round's frontier
     (metadata for in-flight pages only, not the whole crawl).
 
-    Cross-round/cross-task duplicate links are NOT filtered here — the
-    host-affine shard that receives the push is both the filter and the
-    authority (exact first-seen), so no broadcast seen-mirror exists
-    anywhere. Which parallel batch wins a duplicate link is
-    nondeterministic, but final (seq, depth, parent) attribution is
-    recomputed deterministically by the ordering replay — candidates only
-    gate *expansion*.
+    Cross-WORKER duplicate links are not filtered here — the host-affine
+    shard that receives the push is both the filter and the authority
+    (exact first-seen), so no broadcast seen-mirror exists anywhere. Which
+    parallel batch wins a duplicate link is nondeterministic, but final
+    (seq, depth, parent) attribution is recomputed deterministically by
+    the ordering replay — candidates only gate *expansion*.
     """
+    from ..functions.urlkit import shard_of
+    from ..state.seen import url_key
+
+    if _PUSH_FILTER["epoch"] != push_epoch or len(_PUSH_FILTER["keys"]) > _PUSH_FILTER_CAP:
+        _PUSH_FILTER["epoch"] = push_epoch
+        _PUSH_FILTER["keys"] = set()
+    pushed: set = _PUSH_FILTER["keys"]
+    # epoch=None (direct/unit-test calls) keeps filtering batch-local only
+    persistent = push_epoch is not None
+
     depth_map: dict[str, int] = _get_broadcast(depth_ref)
     parents = batch["url"].to_pylist()
     link_lists = batch["linked_urls"].to_pylist()
-    seen_local: set[str] = set()
+    batch_seen: set = pushed if persistent else set()
     links: list[str] = []
+    keys: list[bytes] = []
     out_parents: list[str] = []
     depths: list[int] = []
     for parent, plinks in zip(parents, link_lists):
         d = depth_map.get(parent, 0) + 1
         for link in plinks or ():
-            if link not in seen_local:
-                seen_local.add(link)
+            k = url_key(link)
+            if k not in batch_seen:
+                batch_seen.add(k)
                 links.append(link)
+                keys.append(k)
                 out_parents.append(parent)
                 depths.append(d)
-    from ..functions.urlkit import shard_of
-
     return pa.table(
         {
             "url": pa.array(links, pa.string()),
@@ -268,5 +317,6 @@ def candidate_batch(
             "shard": pa.array(
                 [shard_of(u, num_shards, salt) for u in links], pa.int32()
             ),
+            "key": pa.array(keys, pa.binary()),
         }
     )

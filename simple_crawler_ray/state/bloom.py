@@ -42,6 +42,38 @@ class BloomFilter:
         i = np.arange(self.num_hashes, dtype=np.uint64)
         return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(self.num_bits)
 
+    def _positions_from_digests(self, digests: np.ndarray) -> np.ndarray:
+        """(n, k) bit positions from PRE-HASHED keys: ``digests`` is an
+        (n, 20) uint8 matrix of SHA-1 digests (h1/h2 taken from bytes 0-8
+        and 8-16 — same double-hashing scheme as ``_positions_many`` but
+        with zero per-key Python work, for callers that already carry the
+        digest as data)."""
+        h1 = digests[:, :8].copy().view(">u8").ravel().astype(np.uint64)
+        h2 = digests[:, 8:16].copy().view(">u8").ravel().astype(np.uint64) | np.uint64(
+            1
+        )
+        i = np.arange(self.num_hashes, dtype=np.uint64)
+        return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(self.num_bits)
+
+    def add_digests(self, digests: np.ndarray) -> None:
+        """Vectorized insert of (n, 20) uint8 SHA-1 digests."""
+        if not len(digests):
+            return
+        pos = self._positions_from_digests(digests).ravel()
+        np.bitwise_or.at(
+            self._words, (pos >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (pos & np.uint64(63)),
+        )
+
+    def contains_digests(self, digests: np.ndarray) -> np.ndarray:
+        """Boolean maybe-present per (n, 20) uint8 SHA-1 digest row."""
+        if not len(digests):
+            return np.zeros(0, dtype=bool)
+        pos = self._positions_from_digests(digests)
+        words = self._words[(pos >> np.uint64(6)).astype(np.int64)]
+        masks = np.uint64(1) << (pos & np.uint64(63))
+        return ((words & masks) != 0).all(axis=1)
+
     def add_many(self, keys: list[bytes]) -> None:
         if not keys:
             return

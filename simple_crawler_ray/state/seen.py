@@ -4,10 +4,16 @@
 - Partitioning: ``shard_of(url)`` hashes the HOST, so every URL of a host
   lands on one shard (host-affine; SURVEY §7.3) — robots/politeness and
   dedup share one partitioning key across stages.
-- Each shard holds a Bloom pre-filter (RAM) + an exact raw-URL set
-  (authoritative; SADD parity — Bloom positives are confirmed exactly so a
-  false positive never drops a URL). Admission is atomic per shard because
-  a Ray actor processes one call at a time.
+- Identity: the dedup key is ``sha1(raw_url)`` — equality of raw
+  absolutized URL strings, exactly the reference's SADD semantics
+  (cache.py:93; canonicalization feeds partition keys only, never dedup
+  equality). Digests are computed in the PUSHING TASKS (parallel, scales
+  with CPUs) and shipped as a column, so a shard does set ops + vectorized
+  numpy Bloom updates — no per-URL hashing on the actor.
+- Each shard holds a Bloom pre-filter (RAM) + an exact digest set
+  (authoritative; at 10^10 the exact store is disk-backed and the Bloom
+  screens it). Admission is atomic per shard because a Ray actor
+  processes one call at a time.
 - Checkpointable: ``snapshot()``/``restore()`` round-trip Bloom + exact set
   per shard (north_rule per-partition lineage).
 
@@ -20,16 +26,31 @@ O(shards), not O(urls).
 
 from __future__ import annotations
 
+import hashlib
 import pickle
 from collections import defaultdict
 
+import numpy as np
 import pyarrow as pa
 import ray
 
-from ..functions.urlkit import canonicalize, shard_of
+from ..functions.urlkit import shard_of
 from .bloom import BloomFilter
 
-__all__ = ["SeenShard", "ShardedSeenSet"]
+__all__ = ["SeenShard", "ShardedSeenSet", "url_key"]
+
+
+def url_key(url: str) -> bytes:
+    """The dedup identity: SHA-1 of the RAW absolutized URL string —
+    equality of raw strings, exactly the reference's SADD key
+    (cache.py:93). Canonicalization feeds partition keys only."""
+    return hashlib.sha1(url.encode("utf-8")).digest()
+
+
+def _digest_matrix(keys: list[bytes]) -> np.ndarray:
+    """(n, 20) uint8 view of a list of SHA-1 digests (for the vectorized
+    Bloom kernels)."""
+    return np.frombuffer(b"".join(keys), dtype=np.uint8).reshape(-1, 20)
 
 
 @ray.remote(num_cpus=0)
@@ -38,7 +59,7 @@ class SeenShard:
 
     def __init__(self, num_bits: int = 1 << 22):
         self._bloom = BloomFilter(num_bits=num_bits)
-        self._exact: set[str] = set()
+        self._exact: set[bytes] = set()  # sha1(raw_url) digests
         # per-round accumulators for the distributed admission stage:
         # extract tasks push candidate row tables here (shard-affine, no
         # driver transit); the driver drains the admitted rows per round
@@ -47,18 +68,22 @@ class SeenShard:
 
     def push_candidates(self, table: pa.Table) -> int:
         """Distributed admission sink: admit a candidate row table
-        ``(url, host, depth, parent_url)`` pushed directly from an extract
-        task (the shard-partitioned stage of stages/extract.py — candidate
-        metadata never transits the driver). First-seen rows accumulate
+        ``(url, host, depth, parent_url, key)`` pushed directly from an
+        extract task (the shard-partitioned stage of stages/extract.py —
+        candidate metadata never transits the driver). ``key`` carries
+        ``sha1(raw_url)`` computed in the task, so this actor does only
+        set ops + a vectorized Bloom insert. First-seen rows accumulate
         for ``drain_admitted``; which concurrent discovery wins is
         nondeterministic, but the ordering replay recomputes final
         attribution deterministically. Returns rows received (the ack the
         pushing task awaits)."""
         n = table.num_rows
         self._round_received += n
-        mask = self.admit(table["url"].to_pylist())
+        mask = self.admit_keys(table["key"].to_pylist())
         if any(mask):
-            self._admitted_rows.append(table.filter(pa.array(mask, pa.bool_())))
+            self._admitted_rows.append(
+                table.drop_columns(["key"]).filter(pa.array(mask, pa.bool_()))
+            )
         return n
 
     def drain_admitted(self) -> tuple[pa.Table | None, int]:
@@ -70,43 +95,42 @@ class SeenShard:
         self._round_received = 0
         return t, received
 
-    def admit(self, urls: list[str]) -> list[bool]:
-        """SADD semantics: True iff the URL was not seen before (first-seen
-        wins; atomic within the shard). cf. reference cache.py:91-97.
+    def admit_keys(self, keys: list[bytes]) -> list[bool]:
+        """SADD semantics over pre-hashed keys: True iff ``sha1(raw_url)``
+        was not seen before (first-seen wins; atomic within the shard).
+        cf. reference cache.py:91-97.
 
         The exact set is consulted unconditionally so intra-batch
-        duplicates also report False (a pre-computed Bloom maybe-vector
-        goes stale as soon as the first insert of the batch happens; SADD
-        semantics must hold within one admit() call too). At 10^10 scale,
-        where the exact store is disk-backed, the Bloom-negative shortcut
-        returns (skips the disk probe) but must still consult the batch's
-        own in-RAM insert buffer."""
-        keys = [canonicalize(u).encode("utf-8") for u in urls]
+        duplicates also report False (SADD semantics must hold within one
+        call too). At 10^10 scale, where the exact store is disk-backed,
+        the Bloom-negative shortcut skips the disk probe but must still
+        consult the batch's own in-RAM insert buffer."""
         out: list[bool] = []
         new_keys: list[bytes] = []
         exact = self._exact
-        for url, key in zip(urls, keys):
-            if url in exact:
+        for key in keys:
+            if key in exact:
                 out.append(False)
             else:
-                exact.add(url)
+                exact.add(key)
                 new_keys.append(key)
                 out.append(True)
-        self._bloom.add_many(new_keys)
+        if new_keys:
+            self._bloom.add_digests(_digest_matrix(new_keys))
         return out
 
+    def admit(self, urls: list[str]) -> list[bool]:
+        """Raw-URL convenience wrapper over ``admit_keys`` (seeds, tests,
+        the frontier-dedup microbench)."""
+        return self.admit_keys([url_key(u) for u in urls])
+
     def contains(self, urls: list[str]) -> list[bool]:
-        keys = [canonicalize(u).encode("utf-8") for u in urls]
-        maybe = self._bloom.contains_many(keys)
-        return [bool(m) and u in self._exact for u, m in zip(urls, maybe)]
+        keys = [url_key(u) for u in urls]
+        maybe = self._bloom.contains_digests(_digest_matrix(keys))
+        return [bool(m) and k in self._exact for k, m in zip(keys, maybe)]
 
     def size(self) -> int:
         return len(self._exact)
-
-    def contents(self) -> set[str]:
-        """All member urls (resume support; sandbox-scale only — at 10^10
-        URLs resume rebuilds the driver mirror as a merged Bloom instead)."""
-        return self._exact
 
     def snapshot(self) -> bytes:
         return pickle.dumps(
@@ -208,12 +232,6 @@ class ShardedSeenSet:
     def restore(self, snapshots: list[bytes]) -> None:
         assert len(snapshots) == self.num_shards
         ray.get([s.restore.remote(b) for s, b in zip(self.shards, snapshots)])
-
-    def contents(self) -> set[str]:
-        out: set[str] = set()
-        for part in ray.get([s.contents.remote() for s in self.shards]):
-            out |= part
-        return out
 
     def shutdown(self) -> None:
         """Kill the shard actors (frees their processes; a pool is NOT
