@@ -83,9 +83,9 @@ def d1_exact_dedup(sf_dir: str):
     )
 
     def partial_dedup(batch: pd.DataFrame) -> pd.DataFrame:
-        # partial per-batch combine (one row per hash per batch); a Ray
-        # groupby over ~n_docs single-row groups costs far more than the
-        # whole stream, so partials merge on the driver (ray_guide §agg)
+        # partial per-batch combine (one row per hash per batch) BEFORE the
+        # shuffle, so the groupby moves one row per (hash, batch) instead
+        # of one per document copy (ray_guide §agg)
         batch["content_md5"] = batch["text"].map(
             lambda s: hashlib.md5(s.encode("utf-8")).hexdigest()
         )
@@ -93,31 +93,62 @@ def d1_exact_dedup(sf_dir: str):
             p_min=("doc_id", "min"), p_n=("doc_id", "size")
         )
 
-    partials = (
-        docs.union(dupes)
-        .map_batches(partial_dedup, batch_format="pandas", batch_size=4096)
-        .to_pandas()
-    )
-    agg = partials.groupby("content_md5", as_index=False).agg(
-        canonical_doc_id=("p_min", "min"), n_copies=("p_n", "sum")
-    )
+    # final first-seen merge as a hash-partitioned Ray shuffle — with
+    # mostly-unique documents the partial stream is ~the whole table, so
+    # it must never concentrate on the driver at 100 TB. The hash key is
+    # max-cardinality, so the final uses the coarse-partition pattern
+    # (constant Ray group count, vectorized pandas agg per partition).
+    from .relational import partitioned_group_agg
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("content_md5", as_index=False).agg(
+            s_min=("p_min", "min"), s_n=("p_n", "sum")
+        )
+
+    agg = partitioned_group_agg(
+        docs.union(dupes).map_batches(
+            partial_dedup, batch_format="pandas", batch_size=4096
+        ),
+        ["content_md5"],
+        final,
+    ).to_pandas()
     return pd.DataFrame(
         {
             "content_md5": agg["content_md5"],
-            "canonical_doc_id": agg["canonical_doc_id"].astype("int64"),
-            "n_copies": agg["n_copies"].astype("int64"),
+            "canonical_doc_id": agg["s_min"].astype("int64"),
+            "n_copies": agg["s_n"].astype("int64"),
         }
     )
 
 
+_EMPTY_PAIRS = {"doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64")}
+
+
 def d2_minhash_lsh(sf_dir: str, threshold: float = 0.5):
-    """MinHash+LSH near-duplicate pairs: shingle → 128-perm minhash →
-    32 band buckets → candidate pairs per bucket → exact-Jaccard verify.
+    """MinHash+LSH near-duplicate pairs, fully distributed:
+
+    1. signatures: per-batch vectorized 128-perm minhash → explode to
+       (band, band_hash, doc_id) rows with a coarse ``part`` key;
+    2. bucket pairing: ``groupby(part).map_groups`` — the coarse key keeps
+       the Ray group count CONSTANT (1024) while the per-partition
+       pandas groupby over (band, band_hash) stays vectorized, avoiding
+       millions of 1-2 row Python groups;
+    3. pair dedup: ``groupby(doc_a, doc_b).aggregate(Count)`` hash-agg
+       shuffle (the same pair fires in every shared band);
+    4. exact-Jaccard verify: participant shingle sets are extracted
+       DISTRIBUTED (map_batches over the corpus filtered to the candidate
+       ids — O(candidates) leaves the cluster, never a text dict of the
+       whole corpus). With dup-heavy corpora where candidate pairs
+       themselves explode, step 4 becomes the two-hash-join variant
+       (join pairs→texts on each side, per-row Jaccard in map_batches).
 
     Approximate by construction (LSH recall < 1 below ~J=0.8), so this op
     is checked rows-only; the exact-pair operator with a DuckDB oracle is
     ``d4_ngram_jaccard_pairs``.
     """
+    from ray.data.aggregate import Count
+
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
@@ -127,44 +158,69 @@ def d2_minhash_lsh(sf_dir: str, threshold: float = 0.5):
             for band in range(_BANDS):
                 chunk = sig[band * _ROWS : (band + 1) * _ROWS]
                 bh = hashlib.sha1(chunk.tobytes() + bytes([band])).hexdigest()[:16]
-                rows.append((band, bh, int(doc_id)))
-        return pd.DataFrame(rows, columns=["band", "band_hash", "doc_id"])
+                rows.append((band, bh, int(doc_id), int(bh[:8], 16) % 1024))
+        return pd.DataFrame(rows, columns=["band", "band_hash", "doc_id", "part"])
 
-    # the distributed work is the signature computation; band rows are tiny
-    # metadata (BANDS rows per doc), so bucket-pair formation merges them on
-    # the driver — a Ray groupby over tens of thousands of 1-2 row groups
-    # costs far more than the whole band stream. At 10^10-doc scale this
-    # merge becomes a groupby over (band, band_hash) with per-bucket pair
-    # emission, same semantics.
-    bands = docs.map_batches(
-        to_bands, batch_format="pandas", batch_size=1024
-    ).to_pandas()
-    pairs: set[tuple[int, int]] = set()
-    for _, grp in bands.groupby(["band", "band_hash"]):
-        ids = sorted(set(grp["doc_id"].tolist()))
-        for i, a in enumerate(ids):
-            for b in ids[i + 1 :]:
-                pairs.add((a, b))
-    cand = pd.DataFrame(sorted(pairs), columns=["doc_a", "doc_b"])
+    def emit_pairs(grp: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, bucket in grp.groupby(["band", "band_hash"]):
+            if len(bucket) < 2:
+                continue
+            ids = sorted(set(bucket["doc_id"].tolist()))
+            rows.extend(
+                (a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]
+            )
+        if not rows:
+            return pd.DataFrame(_EMPTY_PAIRS)
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b"]).drop_duplicates()
+
+    cand = (
+        docs.map_batches(to_bands, batch_format="pandas", batch_size=1024)
+        .groupby("part")
+        .map_groups(emit_pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="n_bands"))
+        .to_pandas()
+    )
     if cand.empty:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                             "doc_b": pd.Series([], dtype="int64")})
+        return pd.DataFrame(_EMPTY_PAIRS)
 
-    # exact verification of the (small) candidate set
-    texts = rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    # distributed shingle extraction for ONLY the candidate participants
+    import ray as _ray
+
+    ids_ref = _ray.put(
+        set(cand["doc_a"].tolist()) | set(cand["doc_b"].tolist())
+    )
+
+    def participant_shingles(batch: pd.DataFrame, ids=ids_ref) -> pd.DataFrame:
+        wanted = _ray.get(ids) if isinstance(ids, _ray.ObjectRef) else ids
+        batch = batch[batch["doc_id"].isin(wanted)]
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "shingles": [
+                    np.fromiter(word_shingles(t), dtype=np.int64)
+                    for t in batch["text"]
+                ],
+            }
+        )
+
+    parts = docs.map_batches(
+        participant_shingles, batch_format="pandas", batch_size=1024
     ).to_pandas()
-    tmap = dict(zip(texts["doc_id"], texts["text"]))
+    smap = {int(r.doc_id): set(r.shingles.tolist()) for r in parts.itertuples()}
     keep = []
     for a, b in zip(cand["doc_a"], cand["doc_b"]):
-        sa, sb = word_shingles(tmap[a]), word_shingles(tmap[b])
+        sa, sb = smap[int(a)], smap[int(b)]
         union = len(sa | sb)
         j = len(sa & sb) / union if union else 0.0
         if j >= threshold:
             keep.append((int(a), int(b)))
     keep.sort()
-    return pd.DataFrame(keep, columns=["doc_a", "doc_b"]) if keep else pd.DataFrame(
-        {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
+    return (
+        pd.DataFrame(keep, columns=["doc_a", "doc_b"])
+        if keep
+        else pd.DataFrame(_EMPTY_PAIRS)
     )
 
 
