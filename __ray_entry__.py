@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d1_exact_dedup": dd.d1_exact_dedup,
         "d2_minhash_lsh": dd.d2_minhash_lsh,
         "d3_simhash": dd.d3_simhash,
+        "d3b_simhash_neardup": dd.d3b_simhash_neardup,
         "d4_ngram_jaccard_pairs": dd.d4_ngram_jaccard_pairs,
         # -- similarity search --------------------------------------------
         "s1_knn_bruteforce": sim.s1_knn_bruteforce,

@@ -26,6 +26,7 @@ __all__ = [
     "d1_exact_dedup",
     "d2_minhash_lsh",
     "d3_simhash",
+    "d3b_simhash_neardup",
     "d4_ngram_jaccard_pairs",
     "word_shingles",
     "minhash_signature",
@@ -134,8 +135,8 @@ def d2_minhash_lsh(sf_dir: str, threshold: float = 0.5):
        the Ray group count CONSTANT (1024) while the per-partition
        pandas groupby over (band, band_hash) stays vectorized, avoiding
        millions of 1-2 row Python groups;
-    3. pair dedup: ``groupby(doc_a, doc_b).aggregate(Count)`` hash-agg
-       shuffle (the same pair fires in every shared band);
+    3. pair dedup: coarse-hash-partitioned shuffle with per-partition
+       ``drop_duplicates`` (the same pair fires in every shared band);
     4. exact-Jaccard verify: participant shingle sets are extracted
        DISTRIBUTED (map_batches over the corpus filtered to the candidate
        ids — O(candidates) leaves the cluster, never a text dict of the
@@ -147,7 +148,6 @@ def d2_minhash_lsh(sf_dir: str, threshold: float = 0.5):
     is checked rows-only; the exact-pair operator with a DuckDB oracle is
     ``d4_ngram_jaccard_pairs``.
     """
-    from ray.data.aggregate import Count
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
@@ -174,14 +174,16 @@ def d2_minhash_lsh(sf_dir: str, threshold: float = 0.5):
             return pd.DataFrame(_EMPTY_PAIRS)
         return pd.DataFrame(rows, columns=["doc_a", "doc_b"]).drop_duplicates()
 
-    cand = (
+    from .relational import partitioned_group_agg
+
+    cand = partitioned_group_agg(
         docs.map_batches(to_bands, batch_format="pandas", batch_size=1024)
         .groupby("part")
-        .map_groups(emit_pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="n_bands"))
-        .to_pandas()
-    )
+        .map_groups(emit_pairs, batch_format="pandas"),
+        ["doc_a", "doc_b"],
+        lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
+        num_parts=32,
+    ).to_pandas()
     if cand.empty:
         return pd.DataFrame(_EMPTY_PAIRS)
 
@@ -224,34 +226,150 @@ def d2_minhash_lsh(sf_dir: str, threshold: float = 0.5):
     )
 
 
+def _simhash_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized 64-bit SimHash per document: token hashes collect into a
+    (n_tokens,) uint64 array, bit voting runs as one broadcasted
+    unpack+sum — no per-bit Python loop. Token→hash memoized across the
+    batch (corpus vocabulary repeats heavily)."""
+    shifts = np.arange(64, dtype=np.uint64)
+    cache: dict[str, int] = {}
+    out = []
+    for text in batch["text"]:
+        toks = set(text.split())
+        if not toks:
+            out.append(f"{0:016x}")
+            continue
+        hs = np.fromiter(
+            (
+                cache.setdefault(
+                    t,
+                    int.from_bytes(hashlib.sha1(t.encode("utf-8")).digest()[:8], "big"),
+                )
+                for t in toks
+            ),
+            dtype=np.uint64,
+            count=len(toks),
+        )
+        ones = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).sum(
+            axis=0, dtype=np.int64
+        )
+        pos = ones * 2 > len(toks)  # votes = ones - (n - ones) > 0
+        val = int((pos.astype(np.uint64) << shifts).sum(dtype=np.uint64))
+        out.append(f"{val:016x}")
+    return pd.DataFrame({"doc_id": batch["doc_id"].astype("int64"), "simhash": out})
+
+
 def d3_simhash(sf_dir: str):
     """64-bit SimHash per document (token-hash bit voting), as a hex string
-    column (uint64-safe). Near-dup = small Hamming distance; emitting the
-    signature is the distributed part, distance search composes like d2."""
-
-    def sim(batch: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        shifts = np.arange(64, dtype=np.uint64)
-        for text in batch["text"]:
-            votes = np.zeros(64, dtype=np.int64)
-            for tok in set(text.split()):
-                h = np.uint64(
-                    int.from_bytes(hashlib.sha1(tok.encode("utf-8")).digest()[:8], "big")
-                )
-                bits = (h >> shifts) & np.uint64(1)
-                votes += np.where(bits == 1, 1, -1)
-            val = 0
-            for i in range(64):
-                if votes[i] > 0:
-                    val |= 1 << i
-            out.append(f"{val:016x}")
-        return pd.DataFrame(
-            {"doc_id": batch["doc_id"].astype("int64"), "simhash": out}
-        )
-
+    column (uint64-safe). Near-dup = small Hamming distance — the banded
+    search over these signatures is ``d3b_simhash_neardup``."""
     return rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(sim, batch_format="pandas", batch_size=1024)
+    ).map_batches(_simhash_batch, batch_format="pandas", batch_size=1024)
+
+
+def d3b_simhash_neardup(sf_dir: str, max_hamming: int = 3):
+    """SimHash near-duplicate pairs: banded Hamming-bucket search over the
+    d3 signatures, composed like d2's LSH:
+
+    1. signature per doc (vectorized ``_simhash_batch``), over
+       documents ∪ perturbed-copies of even doc_ids (deterministic
+       near-dup injection — the base table has unique texts, so the
+       operator has real work; perturbed ids offset by 1,000,000);
+    2. band each 64-bit signature into 4×16-bit bands — any pair within
+       Hamming distance ≤ 3 shares at least one exact band (pigeonhole),
+       so recall is 1.0 at the target radius;
+    3. ``groupby(part)`` over a coarse hash of (band, value) → vectorized
+       per-bucket pair emission (constant Ray group count);
+    4. exact verify: popcount of XOR ≤ max_hamming, vectorized in numpy.
+
+    Output: (doc_a, doc_b, hamming) sorted — near-dup clusters at 100 TB
+    run exactly this shape with more/wider bands.
+    """
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def perturb(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pa.compute.equal(pa.compute.bit_wise_and(batch["doc_id"], 1), 0))
+        texts = [s + " perturbed" for s in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pa.compute.add(t["doc_id"], 1_000_000),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    sigs = docs.union(docs.map_batches(perturb, batch_format="pyarrow")).map_batches(
+        _simhash_batch, batch_format="pandas", batch_size=1024
+    )
+
+    def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
+        sig = batch["simhash"].map(lambda h: int(h, 16)).astype("uint64")
+        rows = []
+        for band in range(4):
+            val = ((sig >> np.uint64(16 * band)) & np.uint64(0xFFFF)).astype("int64")
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "band": band,
+                        "band_val": val,
+                        "doc_id": batch["doc_id"].astype("int64"),
+                        "sig": sig.astype("int64").values.view("int64"),
+                        "part": (val * 4 + band) % 1024,
+                    }
+                )
+            )
+        return pd.concat(rows, ignore_index=True)
+
+    def emit_pairs(grp: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, bucket in grp.groupby(["band", "band_val"]):
+            if len(bucket) < 2:
+                continue
+            members = sorted(
+                set(zip(bucket["doc_id"].tolist(), bucket["sig"].tolist()))
+            )
+            for i, (a, sa) in enumerate(members):
+                for b, sb in members[i + 1 :]:
+                    d = int(
+                        bin((int(sa) & 0xFFFFFFFFFFFFFFFF) ^ (int(sb) & 0xFFFFFFFFFFFFFFFF)).count("1")
+                    )
+                    if d <= max_hamming:
+                        rows.append((a, b, d))
+        if not rows:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                    "hamming": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"]).drop_duplicates()
+
+    from .relational import partitioned_group_agg
+
+    pairs = partitioned_group_agg(
+        sigs.map_batches(to_bands, batch_format="pandas", batch_size=4096)
+        .groupby("part")
+        .map_groups(emit_pairs, batch_format="pandas"),
+        ["doc_a", "doc_b"],
+        lambda df: df.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            hamming=("hamming", "min")
+        ),
+        num_parts=32,
+    ).to_pandas()
+    if pairs.empty:
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "hamming": pd.Series([], dtype="int64"),
+            }
+        )
+    return (
+        pairs.astype({"doc_a": "int64", "doc_b": "int64", "hamming": "int64"})
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
 
 
 def d4_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.01, max_doc_id: int = 100):

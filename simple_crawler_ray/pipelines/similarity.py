@@ -78,54 +78,113 @@ def s1_knn_bruteforce(sf_dir: str):
     return merged[["query_id", "neighbor_id", "rank"]].astype("int64")
 
 
-def s2_ann_lsh(sf_dir: str, n_planes: int = 6):
-    """Approximate NN via random-hyperplane LSH: bucket = sign-bit code of
-    the embedding under ``n_planes`` fixed hyperplanes; each query scans
-    only its bucket (∼1/2^n of the corpus). Output (query_id, neighbor_id)
-    sets; recall < 1 by construction → rows-only check."""
+def s2_ann_lsh(sf_dir: str, n_planes: int | None = None, probe_radius: int = 3):
+    """Approximate NN via random-hyperplane LSH with MULTI-PROBE:
+
+    - bucket = sign-bit code under ``n_planes`` fixed hyperplanes, sized to
+      the corpus (target ~32 vectors/bucket; at 10^9 vectors this grows to
+      ~25 planes) so no bucket ever holds a fixed 1/2^n of the corpus;
+    - each query probes its own bucket plus every bucket within Hamming
+      distance ``probe_radius`` of its code (multi-probe: the standard
+      recall knob — neighbors land in codes that differ by few sign bits);
+    - scoring is STREAMED, not grouped: the corpus flows through
+      ``map_batches``; each batch codes its rows, masks them against the
+      broadcast probe tables (vectorized boolean lookup), computes one
+      matmul against the query matrix, and emits per-batch top-k partials
+      — no ``map_groups`` ever materializes a whole bucket.
+
+    Output (query_id, neighbor_id) pairs, ≤ k per query. Approximate by
+    construction → rows-only check; the recall@10 ≥ 0.9 floor vs
+    ``s1_knn_bruteforce`` is asserted in tests/test_queries.py.
+    """
+    from itertools import combinations
+
     path = f"{sf_dir}/embeddings.parquet"
-    head = rd.read_parquet(path, columns=["embedding"]).take(1)
+    corpus = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    n = corpus.count()
+    if n_planes is None:
+        # target ~64 vectors/bucket. NOTE on the recall/scan trade-off:
+        # this synthetic embedding table is near-isotropic (weak cluster
+        # structure), the adversarial case for sign-LSH — radius-3
+        # probing scans most buckets at toy scale to clear the 0.9 recall
+        # floor. At 10^9 vectors (n_planes≈24) the same setting probes
+        # ~2.3k of 16M buckets (~0.01% of the corpus); clustered real
+        # embeddings recover recall with far fewer probes.
+        n_planes = max(4, int(np.ceil(np.log2(max(2, n / 64)))))
+    head = corpus.take(1)
     dim = len(head[0]["embedding"])
     rng = np.random.RandomState(13)
     planes = rng.randn(n_planes, dim)
-    planes_ref = ray.put(planes)
 
-    def code(batch: pd.DataFrame) -> pd.DataFrame:
-        pl = ray.get(planes_ref)
-        m = _emb_matrix(batch)
-        bits = (m @ pl.T) > 0
-        codes = bits @ (1 << np.arange(n_planes))
-        return pd.DataFrame(
-            {
-                "vec_id": batch["vec_id"].astype("int64"),
-                "bucket": codes.astype("int64"),
-                "embedding": batch["embedding"],
-            }
-        )
-
-    coded = rd.read_parquet(path, columns=["vec_id", "embedding"]).map_batches(
-        code, batch_format="pandas", batch_size=4096
-    )
-
-    def bucket_knn(group: pd.DataFrame) -> pd.DataFrame:
-        ids = group["vec_id"].to_numpy()
-        qmask = ids < _N_QUERIES
-        if not qmask.any():
-            return pd.DataFrame({"query_id": [], "neighbor_id": []}).astype("int64")
-        m = _emb_matrix(group)
-        m = m / np.linalg.norm(m, axis=1, keepdims=True)
-        sims = m[qmask] @ m.T
-        rows = []
-        for qi, qid in enumerate(ids[qmask]):
-            order = np.argsort(-sims[qi])
-            picked = [int(ids[j]) for j in order if ids[j] != qid][:_K]
-            rows.extend((int(qid), nid) for nid in picked)
-        return pd.DataFrame(rows, columns=["query_id", "neighbor_id"]).astype("int64")
-
-    return (
-        coded.groupby("bucket")
-        .map_groups(bucket_knn, batch_format="pandas")
+    # query codes + probe masks (one bool lookup row of size 2^planes per
+    # query — tiny; at large n_planes this becomes a hash set per query)
+    queries = (
+        rd.read_parquet(path, columns=["vec_id", "embedding"])
+        .filter(lambda r: r["vec_id"] < _N_QUERIES)
         .to_pandas()
+    )
+    q_ids = queries["vec_id"].to_numpy().astype(np.int64)
+    q_mat = np.stack(queries["embedding"].to_numpy()).astype(np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_codes = ((q_mat @ planes.T) > 0) @ (1 << np.arange(n_planes))
+    flips = [0] + [
+        int(np.bitwise_or.reduce([1 << b for b in combo]))
+        for r in range(1, probe_radius + 1)
+        for combo in combinations(range(n_planes), r)
+    ]
+    probe_ok = np.zeros((len(q_ids), 1 << n_planes), dtype=bool)
+    for qi, qc in enumerate(q_codes):
+        for f in flips:
+            probe_ok[qi, int(qc) ^ f] = True
+    bc = ray.put((q_ids, q_norm, planes, probe_ok))
+
+    def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        qi_, qn, pl, ok = ray.get(bc)
+        m = _emb_matrix(batch)
+        codes = ((m @ pl.T) > 0) @ (1 << np.arange(pl.shape[0]))
+        any_probe = ok.any(axis=0)[codes]
+        if not any_probe.any():
+            return pd.DataFrame(
+                {"query_id": pd.Series([], dtype="int64"),
+                 "neighbor_id": pd.Series([], dtype="int64"),
+                 "sim": pd.Series([], dtype="float64")}
+            )
+        m = m[any_probe]
+        ids = batch["vec_id"].to_numpy()[any_probe]
+        codes = codes[any_probe]
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = qn @ m.T  # (nq, n_candidates)
+        rows = []
+        for qidx, qid in enumerate(qi_):
+            cand = ok[qidx][codes] & (ids != qid)
+            if not cand.any():
+                continue
+            c_ids = ids[cand]
+            c_sims = sims[qidx][cand]
+            top = np.argsort(-c_sims)[:_K]
+            rows.extend(
+                (int(qid), int(c_ids[j]), float(c_sims[j])) for j in top
+            )
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "sim"])
+
+    partials = corpus.map_batches(
+        partial_topk, batch_format="pandas", batch_size=4096
+    ).to_pandas()
+    if partials.empty:
+        return pd.DataFrame(
+            {"query_id": pd.Series([], dtype="int64"),
+             "neighbor_id": pd.Series([], dtype="int64")}
+        )
+    merged = (
+        partials.sort_values(
+            ["query_id", "sim", "neighbor_id"], ascending=[True, False, True]
+        )
+        .groupby("query_id", as_index=False)
+        .head(_K)
+    )
+    return (
+        merged[["query_id", "neighbor_id"]]
+        .astype("int64")
         .sort_values(["query_id", "neighbor_id"])
         .reset_index(drop=True)
     )

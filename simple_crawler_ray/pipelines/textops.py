@@ -3,14 +3,20 @@ training-data-pipeline surface (language-ID, quality scoring, token
 counting, fingerprinting). Every op is vectorized inside ``map_batches``
 and has an exact DuckDB oracle (integer outputs / identical regexes on
 both sides keep the value-hash comparison exact).
+
+The hot per-document ops (t1/t2/t3) run ``batch_format="pyarrow"`` with
+``pyarrow.compute`` kernels — zero-copy from the object store, no pandas
+conversion of the text column, and RE2 regex semantics identical to the
+DuckDB oracle's.
 """
 
 from __future__ import annotations
 
 import hashlib
-import re
 
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Sum
 
@@ -21,9 +27,6 @@ __all__ = [
     "t4_fingerprint",
     "t5_chunk_documents",
 ]
-
-_WS_SPLIT = re.compile(r"\s+")
-_PUNCT = re.compile(r"[^\w\s]")
 
 # stopword markers per language (tiny n-gram/stopword heuristic; the texts
 # are synthetic so the mechanism — not linguistic accuracy — is under test)
@@ -38,24 +41,39 @@ def _docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
-def t1_token_stats(sf_dir: str):
-    """Whitespace token counting + per-language stats (partial-agg →
-    final groupby; int outputs for exact oracle parity)."""
+def _token_counts(text: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Whitespace token count per string, all-Arrow: tokens = whitespace
+    runs in the trimmed string + 1 (0 for whitespace-only/empty)."""
+    trimmed = pc.utf8_trim_whitespace(text)
+    runs = pc.count_substring_regex(trimmed, pattern=r"\s+")
+    return pc.if_else(
+        pc.equal(pc.utf8_length(trimmed), 0),
+        pa.scalar(0, pa.int64()),
+        pc.add(pc.cast(runs, pa.int64()), 1),
+    )
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        ntok = (
-            batch["text"]
-            .str.strip()
-            .map(lambda s: len(_WS_SPLIT.split(s)) if s else 0)
+
+def t1_token_stats(sf_dir: str):
+    """Whitespace token counting + per-language stats (Arrow-native
+    partial-agg → final groupby; int outputs for exact oracle parity)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"lang": batch["lang"], "n_tokens": _token_counts(batch["text"])})
+            .group_by("lang")
+            .aggregate([("n_tokens", "count"), ("n_tokens", "sum")])
         )
-        batch = batch.assign(n_tokens=ntok)
-        return batch.groupby("lang", as_index=False).agg(
-            p_docs=("n_tokens", "size"), p_tokens=("n_tokens", "sum")
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "p_docs": g["n_tokens_count"],
+                "p_tokens": g["n_tokens_sum"],
+            }
         )
 
     agg = (
         _docs(sf_dir, ["text", "lang"])
-        .map_batches(partial, batch_format="pandas", batch_size=4096)
+        .map_batches(partial, batch_format="pyarrow", batch_size=4096)
         .groupby("lang")
         .aggregate(Sum("p_docs", alias_name="docs"), Sum("p_tokens", alias_name="toks"))
         .to_pandas()
@@ -74,17 +92,22 @@ def t2_quality_score(sf_dir: str):
     all integers) + an integer quality flag — the doc-quality scoring
     stage of a training-data pipeline."""
 
-    def score(batch: pd.DataFrame) -> pd.DataFrame:
+    def score(batch: pa.Table) -> pa.Table:
         text = batch["text"]
-        n_chars = text.str.len().astype("int64")
-        n_tokens = (
-            text.str.strip().map(lambda s: len(_WS_SPLIT.split(s)) if s else 0)
-        ).astype("int64")
-        n_punct = text.str.count(_PUNCT).astype("int64")
-        is_quality = ((n_tokens >= 20) & (n_chars >= 100)).astype("int64")
-        return pd.DataFrame(
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+        n_tokens = _token_counts(text)
+        n_punct = pc.cast(
+            pc.count_substring_regex(text, pattern=r"[^\w\s]"), pa.int64()
+        )
+        is_quality = pc.cast(
+            pc.and_(
+                pc.greater_equal(n_tokens, 20), pc.greater_equal(n_chars, 100)
+            ),
+            pa.int64(),
+        )
+        return pa.table(
             {
-                "doc_id": batch["doc_id"].astype("int64"),
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
                 "n_chars": n_chars,
                 "n_tokens": n_tokens,
                 "n_punct": n_punct,
@@ -93,7 +116,7 @@ def t2_quality_score(sf_dir: str):
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        score, batch_format="pandas", batch_size=4096
+        score, batch_format="pyarrow", batch_size=4096
     )
 
 
@@ -101,25 +124,29 @@ def t3_langid(sf_dir: str):
     """Stopword-marker language ID: count per-language marker hits, argmax
     with deterministic tie-break en > de > fr > unknown."""
 
-    def predict(batch: pd.DataFrame) -> pd.DataFrame:
-        low = batch["text"].str.lower()
-        scores = {
-            lang: low.str.count(pat).astype("int64")
-            for lang, pat in _LANG_MARKERS.items()
-        }
-        best = pd.Series(["unknown"] * len(batch), index=batch.index)
-        best_score = pd.Series([0] * len(batch), index=batch.index, dtype="int64")
+    def predict(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        low = pc.utf8_lower(batch["text"])
+        n = batch.num_rows
+        best = np.full(n, "unknown", dtype=object)
+        best_score = np.zeros(n, dtype=np.int64)
         for lang in ("en", "de", "fr"):  # deterministic priority order
-            s = scores[lang]
+            s = pc.count_substring_regex(
+                low, pattern=_LANG_MARKERS[lang]
+            ).to_numpy(zero_copy_only=False)
             win = s > best_score
-            best = best.mask(win, lang)
-            best_score = best_score.mask(win, s)
-        return pd.DataFrame(
-            {"doc_id": batch["doc_id"].astype("int64"), "lang_pred": best}
+            best[win] = lang
+            best_score = np.maximum(best_score, s)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "lang_pred": pa.array(best, pa.string()),
+            }
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        predict, batch_format="pandas", batch_size=4096
+        predict, batch_format="pyarrow", batch_size=4096
     )
 
 
@@ -152,16 +179,22 @@ def t4_fingerprint(sf_dir: str):
     """Document fingerprinting: md5 content digest (hex) per doc — the
     exact-dedup key of a training-data pipeline (north-star text ops)."""
 
-    def fp(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def fp(batch: pa.Table) -> pa.Table:
+        # md5 has no Arrow kernel; hashing runs straight off the Arrow
+        # string column (no pandas block conversion of the text column)
+        return pa.table(
             {
-                "doc_id": batch["doc_id"].astype("int64"),
-                "fingerprint": batch["text"].map(
-                    lambda s: hashlib.md5(s.encode("utf-8")).hexdigest()
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "fingerprint": pa.array(
+                    [
+                        hashlib.md5(s.encode("utf-8")).hexdigest()
+                        for s in batch["text"].to_pylist()
+                    ],
+                    pa.string(),
                 ),
             }
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        fp, batch_format="pandas", batch_size=4096
+        fp, batch_format="pyarrow", batch_size=4096
     )

@@ -32,6 +32,7 @@ def test_query_and_oracle_keys_consistent():
         "c4_sitemaps_out",
         "d2_minhash_lsh",
         "d3_simhash",
+        "d3b_simhash_neardup",
         "s2_ann_lsh",
     }
 
@@ -52,6 +53,46 @@ def test_rows_only_queries_run(ray_session):
     for name in ("d2_minhash_lsh", "d3_simhash", "s2_ann_lsh"):
         df = to_pandas(qs[name](SF_DIR))
         assert df is not None
+
+
+def test_s2_ann_recall_floor(ray_session):
+    """Multi-probe LSH must reach recall@10 ≥ 0.9 against the exact
+    brute-force top-k on the same table."""
+    from simple_crawler_ray.pipelines.similarity import (
+        s1_knn_bruteforce,
+        s2_ann_lsh,
+    )
+
+    exact = s1_knn_bruteforce(SF_DIR)
+    ann = s2_ann_lsh(SF_DIR)
+    recalls = []
+    for qid, grp in exact.groupby("query_id"):
+        truth = set(grp["neighbor_id"])
+        got = set(ann[ann["query_id"] == qid]["neighbor_id"])
+        recalls.append(len(truth & got) / len(truth))
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_d3b_finds_injected_neardups(ray_session):
+    """The banded-Hamming search must recover the deterministically
+    injected near-duplicates (doc_id → doc_id + 1,000,000, text perturbed
+    by one token): any pair within the Hamming radius shares a band by
+    pigeonhole, so every injected pair whose signatures are ≤ max_hamming
+    apart MUST appear."""
+    import numpy as np
+
+    from simple_crawler_ray.pipelines.dedup import d3b_simhash_neardup
+
+    pairs = d3b_simhash_neardup(SF_DIR)
+    assert len(pairs) > 0
+    assert (pairs["hamming"] <= 3).all()
+    assert (pairs["doc_a"] < pairs["doc_b"]).all()
+    injected = pairs[pairs["doc_b"] == pairs["doc_a"] + 1_000_000]
+    # one perturbing token over a ~200-token doc flips few signature bits:
+    # a healthy share of the injected copies must be recovered
+    assert len(injected) >= 25
+    # and recovered pairs are genuine near-dups of their own source
+    assert (injected["doc_a"] % 2 == 0).all()
 
 
 def test_entry_smoke(ray_session):
