@@ -50,7 +50,7 @@ from ..sources.pages import (
     url_bucket,
 )
 from ..stages.extract import crawl_round_batch, crawl_round_file_batch
-from ..stages.politeness import politeness_gate
+from ..stages.politeness import BACKOFF_MULTIPLIER, gate as politeness_gate_dispatch
 from ..state.seen import ShardedSeenSet
 from .replay import OrderingReplay, replay_exhaustive
 from .serial_oracle import seed_frontier
@@ -99,6 +99,14 @@ class CrawlConfig:
     # hosts holding > 2x their fair share of corpus pages get their URLs
     # spread over multiple shards
     hot_host_salting: bool = True
+    # frontier size above which the politeness gate runs as a Ray
+    # groupby(host) shuffle stage instead of on the driver
+    gate_distributed_threshold: int = 200_000
+    # ST7 429-equivalent backoff: a host that exceeded its token budget in
+    # a round gets its effective budget divided by 1.5 for the rest of the
+    # crawl (reference check_every ×1.5 on HTTP 429, main.py:80-84);
+    # scheduling-only, outputs invariant
+    backoff_enabled: bool = True
     # exhaustion-mode adjacency feed for the final ordering replay:
     # False (default) → per-round page→links metadata returns with the round
     # execution and accumulates as Arrow on the driver (shipping overlaps
@@ -355,6 +363,7 @@ def crawl(cfg: CrawlConfig, seen_set: ShardedSeenSet | None = None) -> CrawlResu
     # post-fetch found-diff. Driver state is O(frontier metadata).
     seen_set.admit(frontier["url"].to_pylist())
     retry_counts: dict[str, int] = {}
+    host_backoff: dict[str, float] = {}  # ST7 429-equivalent decay state
 
     if cfg.resume:
         resumed = _try_resume(cfg, seen_set, adjacency, metrics)
@@ -387,9 +396,23 @@ def crawl(cfg: CrawlConfig, seen_set: ShardedSeenSet | None = None) -> CrawlResu
         if cfg.fair_frontier and frontier.num_rows > cfg.small_round_threshold:
             frontier = prioritize_frontier(frontier)
 
-        # ---- politeness gate (robots + token bucket) --------------------
-        gate = politeness_gate(frontier, rules, cfg.round_seconds)
+        # ---- politeness gate (robots + token bucket + 429-backoff) ------
+        gate = politeness_gate_dispatch(
+            frontier,
+            rules,
+            cfg.round_seconds,
+            backoff=host_backoff if cfg.backoff_enabled else None,
+            distributed_threshold=cfg.gate_distributed_threshold,
+        )
         allowed, deferred = gate.allowed, gate.deferred
+        if cfg.backoff_enabled and gate.deferred.num_rows:
+            # 429-equivalent signal: this host saturated its budget this
+            # round → decay its refill rate (never reset, like the
+            # reference's check_every)
+            for h in set(gate.deferred["host"].to_pylist()):
+                host_backoff[h] = min(
+                    100.0, host_backoff.get(h, 1.0) * BACKOFF_MULTIPLIER
+                )
         if cfg.max_fetch_per_round and allowed.num_rows > cfg.max_fetch_per_round:
             # keep the most recently admitted rows (DFS locality: the tail
             # of the frontier is what the LIFO replay needs first);

@@ -1,4 +1,4 @@
-"""Per-host robots + politeness gate (vectorized).
+"""Per-host robots + politeness gate (vectorized), driver and distributed.
 
 Reference parity: robots Disallow is enforced BEFORE fetch, disallowed →
 (403, DISALLOWED) closed row (downloader.py:59-67, tests/test_downloader.py:
@@ -16,11 +16,21 @@ metric, never dropped). Within a host, earlier frontier rows win the budget
 scheduling — it changes round composition, never the final crawl graph, so
 ordering parity (replay) is unaffected.
 
-Implementation: pandas-vectorized per host group. Hosts with simple robots
-(only `Disallow: <prefix>` under `User-agent: *` — the overwhelmingly common
-shape) take the exact vectorized prefix path; complex robots fall back to
-per-URL ``RobotFileParser.can_fetch`` (which costs ~30 µs/url and would
-serialize the driver on wide frontiers).
+Backoff decay (ST7; reference multiplies its poll interval ×1.5 after an
+HTTP 429, main.py:80-84): the corpus-join fetch cannot produce a live 429,
+so the engine's 429-equivalent signal is DEFER PRESSURE — a host that
+exceeded its token budget in a round. Each such round multiplies the
+host's backoff factor by 1.5 (never reset, like the reference's
+check_every), dividing its effective per-round budget. Scheduling-only:
+outputs are invariant (docs/SEMANTICS.md).
+
+Execution: the per-host kernel is shared by two drivers —
+``politeness_gate`` runs it on the driver (pandas groupby over the round
+frontier; right answer while rounds are ≤ ~100k rows), and
+``politeness_gate_distributed`` runs it as a Ray ``groupby("host")``
+shuffle + ``map_groups`` stage for 10^10-frontier rounds, returning the
+same three tables with original frontier order restored via a carried
+``seq`` key. ``gate`` picks by frontier size.
 """
 
 from __future__ import annotations
@@ -33,7 +43,15 @@ import pyarrow as pa
 
 from ..functions.robots import RulesIndex
 
-__all__ = ["GateResult", "politeness_gate"]
+__all__ = [
+    "GateResult",
+    "politeness_gate",
+    "politeness_gate_distributed",
+    "gate",
+    "BACKOFF_MULTIPLIER",
+]
+
+BACKOFF_MULTIPLIER = 1.5  # reference main.py:80-84 (check_every *= 1.5)
 
 
 @dataclass
@@ -50,13 +68,61 @@ def _path_of(url: str, host: str) -> str:
     return url[j:] if j >= 0 else "/"
 
 
+def _host_budget(host_rules, round_seconds: float, backoff: float) -> int | None:
+    """Per-round fetch budget for one host under the token bucket, scaled
+    down by the host's 429-equivalent backoff factor."""
+    budget = None
+    if host_rules.crawl_delay:
+        budget = max(1, int(round_seconds // host_rules.crawl_delay))
+    if host_rules.request_rate:
+        req, per = host_rules.request_rate
+        rate_budget = max(1, int(req * round_seconds / max(per, 1e-9)))
+        budget = rate_budget if budget is None else min(budget, rate_budget)
+    if budget is not None and backoff > 1.0:
+        budget = max(1, int(budget / backoff))
+    return budget
+
+
+def _gate_host(
+    hurls: pd.Series,
+    host_rules,
+    round_seconds: float | None,
+    backoff: float = 1.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """The per-host kernel: (disallowed_mask, deferred_mask) over one
+    host's frontier rows IN ORDER (earlier rows win the budget)."""
+    n = len(hurls)
+    dmask = np.zeros(n, dtype=bool)
+    prefixes = host_rules.simple_disallow_prefixes
+    if host_rules.robots_text is None:
+        pass  # no robots → allow all
+    elif prefixes is not None:
+        if prefixes:
+            paths = hurls.map(lambda u: _path_of(u, ""))
+            for p in prefixes:
+                dmask |= paths.str.startswith(p).to_numpy()
+    else:  # complex robots: exact per-URL fallback
+        dmask = ~hurls.map(host_rules.can_fetch).to_numpy(dtype=bool)
+
+    defmask = np.zeros(n, dtype=bool)
+    if round_seconds is not None and (
+        host_rules.crawl_delay or host_rules.request_rate
+    ):
+        budget = _host_budget(host_rules, round_seconds, backoff)
+        if budget is not None:
+            ok = ~dmask
+            defmask = ok & (ok.cumsum() > budget)
+    return dmask, defmask
+
+
 def politeness_gate(
     frontier: pa.Table,
     rules: RulesIndex,
     round_seconds: float | None = None,
+    backoff: dict[str, float] | None = None,
 ) -> GateResult:
-    """Split a round's frontier (needs ``url`` and ``host`` columns) into
-    allowed / disallowed / deferred (see module docstring)."""
+    """Driver-side gate: split a round's frontier (needs ``url`` and
+    ``host`` columns) into allowed / disallowed / deferred."""
     n = frontier.num_rows
     if n == 0:
         return GateResult(frontier, frontier.slice(0, 0), frontier.slice(0, 0))
@@ -67,34 +133,14 @@ def politeness_gate(
     deferred = np.zeros(n, dtype=bool)
 
     for host, idx in hosts.groupby(hosts).groups.items():
-        host_rules = rules.for_host(host)
-        hurls = urls[idx]
-        dmask = np.zeros(len(idx), dtype=bool)
-        prefixes = host_rules.simple_disallow_prefixes
-        if host_rules.robots_text is None:
-            pass  # no robots → allow all
-        elif prefixes is not None:
-            if prefixes:
-                paths = hurls.map(lambda u, h=host: _path_of(u, h))
-                for p in prefixes:
-                    dmask |= paths.str.startswith(p).to_numpy()
-        else:  # complex robots: exact per-URL fallback
-            dmask = ~hurls.map(host_rules.can_fetch).to_numpy(dtype=bool)
+        dmask, defmask = _gate_host(
+            urls[idx],
+            rules.for_host(host),
+            round_seconds,
+            (backoff or {}).get(host, 1.0),
+        )
         disallowed[idx] = dmask
-
-        if round_seconds is not None and (
-            host_rules.crawl_delay or host_rules.request_rate
-        ):
-            budget = None
-            if host_rules.crawl_delay:
-                budget = max(1, int(round_seconds // host_rules.crawl_delay))
-            if host_rules.request_rate:
-                req, per = host_rules.request_rate
-                rate_budget = max(1, int(req * round_seconds / max(per, 1e-9)))
-                budget = rate_budget if budget is None else min(budget, rate_budget)
-            ok = ~dmask
-            over_budget = ok.cumsum() > budget
-            deferred[idx] = ok & over_budget
+        deferred[idx] = defmask
 
     allowed_mask = ~(disallowed | deferred)
     return GateResult(
@@ -102,3 +148,81 @@ def politeness_gate(
         disallowed=frontier.filter(pa.array(disallowed)),
         deferred=frontier.filter(pa.array(deferred)),
     )
+
+
+def politeness_gate_distributed(
+    frontier: pa.Table,
+    rules: RulesIndex,
+    round_seconds: float | None = None,
+    backoff: dict[str, float] | None = None,
+) -> GateResult:
+    """Distributed gate for wide frontiers: a Ray ``groupby("host")``
+    shuffle (host is already the engine-wide partitioning key, SURVEY
+    §7.3) with the same per-host kernel inside ``map_groups``. The rules
+    index and backoff map are broadcast once via ``ray.put``; a carried
+    ``seq`` column restores the original frontier order (budget winners
+    must match the driver path exactly)."""
+    import ray
+    import ray.data as rd
+
+    n = frontier.num_rows
+    if n == 0:
+        return GateResult(frontier, frontier.slice(0, 0), frontier.slice(0, 0))
+    with_seq = frontier.append_column("seq", pa.array(np.arange(n), pa.int64()))
+    rules_ref = ray.put((rules, backoff or {}))
+
+    def gate_group(g: pd.DataFrame) -> pd.DataFrame:
+        rls, bk = ray.get(rules_ref)
+        g = g.sort_values("seq")
+        host = g["host"].iloc[0]
+        dmask, defmask = _gate_host(
+            g["url"].reset_index(drop=True),
+            rls.for_host(host),
+            round_seconds,
+            bk.get(host, 1.0),
+        )
+        verdict = np.zeros(len(g), dtype=np.int8)
+        verdict[defmask] = 2
+        verdict[dmask] = 1
+        return g.assign(verdict=verdict)
+
+    out = (
+        rd.from_arrow(with_seq)
+        .groupby("host")
+        .map_groups(gate_group, batch_format="pandas")
+    )
+    tables = [
+        t
+        for t in out.iter_batches(batch_format="pyarrow", batch_size=None)
+        if t.num_rows
+    ]
+    merged = (
+        pa.concat_tables(tables)
+        if tables
+        else with_seq.append_column("verdict", pa.array([], pa.int8()))
+    )
+    merged = merged.sort_by("seq")
+    import pyarrow.compute as pc
+
+    def pick(code: int) -> pa.Table:
+        return merged.filter(pc.equal(merged["verdict"], code)).drop_columns(
+            ["seq", "verdict"]
+        )
+
+    return GateResult(allowed=pick(0), disallowed=pick(1), deferred=pick(2))
+
+
+def gate(
+    frontier: pa.Table,
+    rules: RulesIndex,
+    round_seconds: float | None = None,
+    backoff: dict[str, float] | None = None,
+    distributed_threshold: int = 200_000,
+) -> GateResult:
+    """Gate dispatcher: driver path for normal rounds, distributed
+    host-shuffle path once the frontier outgrows the driver (the
+    crossover on this box is ~10^5 rows; a 10^10-URL frontier is always
+    distributed)."""
+    if frontier.num_rows > distributed_threshold:
+        return politeness_gate_distributed(frontier, rules, round_seconds, backoff)
+    return politeness_gate(frontier, rules, round_seconds, backoff)

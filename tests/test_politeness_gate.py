@@ -77,3 +77,80 @@ def test_complex_robots_falls_back_exact():
 def test_empty_frontier():
     gate = politeness_gate(_frontier([]), RulesIndex({}))
     assert gate.allowed.num_rows == 0
+
+
+def test_backoff_decays_budget():
+    """ST7 parity: the 429-equivalent backoff factor divides the host's
+    effective per-round budget (reference check_every ×1.5 on HTTP 429,
+    main.py:80-84)."""
+    rules = _rules("User-agent: *\nCrawl-delay: 1\n")
+    urls = [f"https://h.example/p{i}" for i in range(20)]
+    base = politeness_gate(_frontier(urls), rules, round_seconds=9.0)
+    assert base.allowed.num_rows == 9
+    once = politeness_gate(
+        _frontier(urls), rules, round_seconds=9.0, backoff={"h.example": 1.5}
+    )
+    assert once.allowed.num_rows == 6  # 9 / 1.5
+    twice = politeness_gate(
+        _frontier(urls), rules, round_seconds=9.0, backoff={"h.example": 2.25}
+    )
+    assert twice.allowed.num_rows == 4  # int(9 / 2.25)
+    # a different host's backoff never leaks
+    other = politeness_gate(
+        _frontier(urls), rules, round_seconds=9.0, backoff={"x.example": 4.0}
+    )
+    assert other.allowed.num_rows == 9
+
+
+def test_distributed_gate_matches_driver(ray_session):
+    """The Ray groupby(host) gate stage must split exactly like the
+    driver-side gate, including within-host budget winners and row
+    order."""
+    from simple_crawler_ray.stages.politeness import politeness_gate_distributed
+
+    rules = RulesIndex(
+        {
+            "a.example": "User-agent: *\nDisallow: /private\nCrawl-delay: 2\n",
+            "b.example": "User-agent: *\nRequest-rate: 1/5\n",
+        }
+    )
+    urls = []
+    for i in range(40):
+        h = "a.example" if i % 3 else "b.example"
+        path = "/private/x" if i % 7 == 0 else f"/p{i}"
+        urls.append(f"https://{h}{path}")
+    frontier = _frontier(urls)
+    backoff = {"a.example": 1.5}
+    drv = politeness_gate(frontier, rules, round_seconds=10.0, backoff=backoff)
+    dist = politeness_gate_distributed(
+        frontier, rules, round_seconds=10.0, backoff=backoff
+    )
+    for side in ("allowed", "disallowed", "deferred"):
+        assert getattr(dist, side).equals(getattr(drv, side)), side
+
+
+def test_backoff_crawl_outputs_invariant(ray_session, small_corpus_dir, tmp_path):
+    """Backoff decay changes round composition only — final crawl outputs
+    are identical with it on or off."""
+    from simple_crawler_ray.pipelines.crawl import CrawlConfig, crawl
+
+    def run(tag, backoff_enabled):
+        return crawl(
+            CrawlConfig(
+                corpus_dir=small_corpus_dir,
+                out_dir=str(tmp_path / tag),
+                seed_urls=["https://host0.example"],
+                max_pages=None,
+                num_seen_shards=2,
+                num_buckets=8,
+                round_seconds=4.0,
+                backoff_enabled=backoff_enabled,
+            )
+        )
+
+    on = run("on", True)
+    off = run("off", False)
+    assert on.order.equals(off.order)
+    assert on.seen.equals(off.seen)
+    # backoff genuinely bites: decayed budgets stretch the crawl
+    assert on.rounds >= off.rounds
