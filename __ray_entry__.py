@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d3_simhash": dd.d3_simhash,
         "d3b_simhash_neardup": dd.d3b_simhash_neardup,
         "d4_ngram_jaccard_pairs": dd.d4_ngram_jaccard_pairs,
+        "d5_embedding_cosine_pairs": dd.d5_embedding_cosine_pairs,
         # -- similarity search --------------------------------------------
         "s1_knn_bruteforce": sim.s1_knn_bruteforce,
         "s2_ann_lsh": sim.s2_ann_lsh,
@@ -288,5 +289,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
                    md5(text) AS content_md5
             FROM documents
+        """,
+        "d5_embedding_cosine_pairs": """
+            SELECT CAST(a.vec_id AS BIGINT) AS vec_id_a,
+                   CAST(b.vec_id AS BIGINT) AS vec_id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6)
+                       AS cosine
+            FROM embeddings a JOIN embeddings b
+              ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 500 AND b.vec_id < 500
+              AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.4
         """,
     }

@@ -28,6 +28,7 @@ __all__ = [
     "d3_simhash",
     "d3b_simhash_neardup",
     "d4_ngram_jaccard_pairs",
+    "d5_embedding_cosine_pairs",
     "word_shingles",
     "minhash_signature",
 ]
@@ -424,4 +425,67 @@ def d4_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.01, max_doc_id: int
     out = counts[counts["jaccard"] >= threshold][["doc_a", "doc_b", "jaccard"]]
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True).astype(
         {"doc_a": "int64", "doc_b": "int64"}
+    )
+
+
+def d5_embedding_cosine_pairs(sf_dir: str, threshold: float = 0.4, max_vec_id: int = 500):
+    """Embedding-cosine near-duplicate pairs (exact, SQL-verifiable): all
+    (a, b) with cosine(e_a, e_b) ≥ threshold over a bounded vec_id subset.
+
+    Shape: the bounded comparison block is broadcast once (``ray.put`` of
+    the L2-normalized matrix); the corpus STREAMS through ``map_batches``,
+    each batch doing one numpy matmul against the broadcast block and
+    emitting its qualifying pairs — the same broadcast-small-side pattern
+    as s1. At 10^9 vectors the broadcast block becomes the LSH-bucketed
+    candidate structure of ``s2_ann_lsh`` (bucket-join instead of full
+    matmul); the exact bounded form is the oracle-checkable counterpart,
+    like d4 is to d2.
+    """
+    import ray as _ray
+
+    path = f"{sf_dir}/embeddings.parquet"
+    block = (
+        rd.read_parquet(path, columns=["vec_id", "embedding"])
+        .filter(lambda r: r["vec_id"] < max_vec_id)
+        .to_pandas()
+    )
+    ids = block["vec_id"].to_numpy().astype(np.int64)
+    m = np.stack(block["embedding"].to_numpy()).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    bc = _ray.put((ids, m))
+
+    def pairs_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        bids, bm = _ray.get(bc) if isinstance(bc, _ray.ObjectRef) else bc
+        keep = batch["vec_id"].to_numpy().astype(np.int64) < max_vec_id
+        batch = batch[keep]
+        if batch.empty:
+            return pd.DataFrame(
+                {
+                    "vec_id_a": pd.Series([], dtype="int64"),
+                    "vec_id_b": pd.Series([], dtype="int64"),
+                    "cosine": pd.Series([], dtype="float64"),
+                }
+            )
+        rids = batch["vec_id"].to_numpy().astype(np.int64)
+        rm = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        rm = rm / np.linalg.norm(rm, axis=1, keepdims=True)
+        sims = rm @ bm.T  # (batch, block)
+        ii, jj = np.nonzero((sims >= threshold) & (rids[:, None] < bids[None, :]))
+        return pd.DataFrame(
+            {
+                "vec_id_a": rids[ii],
+                "vec_id_b": bids[jj],
+                "cosine": np.round(sims[ii, jj], 6),
+            }
+        )
+
+    out = (
+        rd.read_parquet(path, columns=["vec_id", "embedding"])
+        .map_batches(pairs_batch, batch_format="pandas", batch_size=4096)
+        .to_pandas()
+    )
+    return (
+        out.astype({"vec_id_a": "int64", "vec_id_b": "int64"})
+        .sort_values(["vec_id_a", "vec_id_b"])
+        .reset_index(drop=True)
     )
