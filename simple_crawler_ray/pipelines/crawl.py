@@ -102,6 +102,13 @@ class CrawlConfig:
     # frontier size above which the politeness gate runs as a Ray
     # groupby(host) shuffle stage instead of on the driver
     gate_distributed_threshold: int = 200_000
+    # pluggable run/round listeners — the rebuild of the reference's
+    # pubsub listener surface (DatabaseManager.add_listener data.py:103-109
+    # + BaseListener helper_classes.py:13-44): each callable receives
+    # (event, payload) at run_start / round_complete / run_complete.
+    # Listener errors are isolated (logged semantics: a broken listener
+    # must never fail the crawl, like a dead pubsub consumer).
+    listeners: list = field(default_factory=list)
     # ST7 429-equivalent backoff: a host that exceeded its token budget in
     # a round gets its effective budget divided by 1.5 for the rest of the
     # crawl (reference check_every ×1.5 on HTTP 429, main.py:80-84);
@@ -229,6 +236,16 @@ def _load_adjacency_from_rounds(out_dir: str, adjacency: dict) -> None:
             adjacency[u] = (int(st), req, [])
 
 
+def _notify(cfg: CrawlConfig, event: str, payload: dict) -> None:
+    """Fire registered listeners (reference pubsub-listener surface); a
+    failing listener never fails the crawl."""
+    for fn in cfg.listeners:
+        try:
+            fn(event, payload)
+        except Exception:
+            pass
+
+
 def _append_run_event(cfg: CrawlConfig, event: str) -> None:
     """Run start/complete events — reference `runs` table rows published by
     DatabaseManager.start_run/complete_run (data.py:117-140)."""
@@ -335,6 +352,7 @@ def crawl(cfg: CrawlConfig, seen_set: ShardedSeenSet | None = None) -> CrawlResu
     # run-events manifest (reference `runs` table start/complete rows,
     # data.py:117-140)
     _append_run_event(cfg, "start")
+    _notify(cfg, "run_start", {"run_id": cfg.run_id, "seeds": list(seeds)})
 
     replay = OrderingReplay(seeds, cfg.max_pages)
     if seen_set is None:
@@ -585,6 +603,7 @@ def crawl(cfg: CrawlConfig, seen_set: ShardedSeenSet | None = None) -> CrawlResu
         metrics["rounds"].append(round_metrics)
         with open(os.path.join(rdir, "manifest.json"), "w") as f:
             json.dump({"complete": True, "metrics": round_metrics}, f)
+        _notify(cfg, "round_complete", round_metrics)
 
         r += 1
         if state == "done" and replay.done():
@@ -661,6 +680,7 @@ def crawl(cfg: CrawlConfig, seen_set: ShardedSeenSet | None = None) -> CrawlResu
     # a max_rounds-truncated run is NOT complete (reference logs `complete`
     # only via complete_run at normal teardown, data.py:132-140)
     _append_run_event(cfg, "truncated" if truncated else "complete")
+    _notify(cfg, "run_complete", totals)
 
     return CrawlResult(
         out_dir=cfg.out_dir,

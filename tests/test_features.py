@@ -96,6 +96,37 @@ def test_run_events_and_sitemap_json(ray_session, small_corpus_dir, tmp_path):
     assert any(k.endswith("/sitemap-index.xml") for k in indexes)
 
 
+def test_listener_hooks(ray_session, small_corpus_dir, tmp_path):
+    """Pluggable listener surface (reference DatabaseManager.add_listener,
+    data.py:103-109): run/round events fire in order; a raising listener
+    never fails the crawl."""
+    events = []
+
+    def listener(event, payload):
+        events.append((event, payload))
+
+    def broken(event, payload):
+        raise RuntimeError("listener bug")
+
+    res = crawl(
+        CrawlConfig(
+            corpus_dir=small_corpus_dir,
+            out_dir=str(tmp_path / "lst"),
+            seed_urls=["https://host0.example"],
+            max_pages=10,
+            num_seen_shards=2,
+            num_buckets=8,
+            listeners=[listener, broken],
+        )
+    )
+    kinds = [e for e, _ in events]
+    assert kinds[0] == "run_start"
+    assert kinds[-1] == "run_complete"
+    assert kinds.count("round_complete") == res.rounds
+    assert events[0][1]["run_id"] == "run0"
+    assert events[-1][1]["visited"] == res.order.num_rows
+
+
 def test_retries_defer_errors_but_outputs_invariant(
     ray_session, small_corpus_dir, tmp_path
 ):
