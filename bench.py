@@ -221,7 +221,10 @@ def run_bench(sf_dir: str, num_cpus: int, crawl_only: bool = False) -> dict:
             "t2_quality_score",
             "d1_exact_dedup",
             "d2_minhash_lsh",
+            "d3b_simhash_neardup",
+            "d5_embedding_cosine_pairs",
             "s1_knn_bruteforce",
+            "s2_ann_lsh",
             "e1_sessionize",
             "m1_binary_features",
         ):

@@ -195,12 +195,15 @@ class ShardedSeenSet:
         return merged, received
 
     def admit(self, urls: list[str]) -> list[bool]:
-        """Batched first-seen admission; one RPC per touched shard."""
+        """Batched first-seen admission; one RPC per touched shard. Keys
+        are hashed ONCE on the caller and shipped pre-hashed (the shards
+        do set ops only — same contract as the push path)."""
         if not urls:
             return []
+        keys = [url_key(u) for u in urls]
         groups = self._group(urls)
         futures = {
-            s: self.shards[s].admit.remote([urls[i] for i in idx])
+            s: self.shards[s].admit_keys.remote([keys[i] for i in idx])
             for s, idx in groups.items()
         }
         out = [False] * len(urls)
