@@ -31,6 +31,89 @@ def test_bloom_merge():
     assert b"x" in a and b"y" in a
 
 
+def test_bloom_digest_kernels_match_bytes_api():
+    """The vectorized digest path must place keys at the same positions as
+    the byte-key API would, and never produce false negatives."""
+    import hashlib
+
+    import numpy as np
+
+    from simple_crawler_ray.state.seen import _digest_matrix
+
+    bf = BloomFilter(num_bits=1 << 12)
+    keys = [hashlib.sha1(f"k{i}".encode()).digest() for i in range(200)]
+    bf.add_digests(_digest_matrix(keys))
+    assert bf.contains_digests(_digest_matrix(keys)).all()
+    fresh = [hashlib.sha1(f"other{i}".encode()).digest() for i in range(1000)]
+    assert bf.contains_digests(_digest_matrix(fresh)).sum() < 50
+    assert isinstance(bf.contains_digests(np.zeros((0, 20), dtype=np.uint8)).sum(), np.integer)
+
+
+def test_push_drain_admission(ray_session):
+    """Distributed-admission primitives: pushes dedup exactly (including
+    duplicates within one push and across pushes), drain returns admitted
+    rows once and resets."""
+    import pyarrow as pa
+
+    from simple_crawler_ray.state.seen import ShardedSeenSet, url_key
+
+    pool = ShardedSeenSet(num_shards=2, num_bits=1 << 12)
+
+    def cand_table(urls):
+        from simple_crawler_ray.functions.urlkit import host_of, shard_of
+
+        return pa.table(
+            {
+                "url": pa.array(urls),
+                "host": pa.array([host_of(u) for u in urls]),
+                "depth": pa.array([1] * len(urls), pa.int32()),
+                "parent_url": pa.array([""] * len(urls)),
+                "shard": pa.array(
+                    [shard_of(u, 2, None) for u in urls], pa.int32()
+                ),
+                "key": pa.array([url_key(u) for u in urls], pa.binary()),
+            }
+        )
+
+    import ray
+
+    urls = [f"https://h{i % 3}.example/p{i}" for i in range(10)]
+    ray.get(pool.push_candidates(cand_table(urls + urls[:4])))  # intra-push dupes
+    ray.get(pool.push_candidates(cand_table(urls[:6])))  # cross-push dupes
+    admitted, received = pool.drain_admitted()
+    assert received == 20  # 14 + 6
+    assert sorted(admitted["url"].to_pylist()) == sorted(urls)
+    assert "key" not in admitted.schema.names
+    # drain reset: nothing left
+    again, received2 = pool.drain_admitted()
+    assert again is None and received2 == 0
+    # the seen set retains everything
+    assert not any(pool.admit(urls))
+    pool.shutdown()
+
+
+def test_candidate_push_filter_epochs(ray_session):
+    """Worker-persistent push filter: within one epoch a worker never
+    re-emits a key; a new epoch resets the filter."""
+    import pyarrow as pa
+
+    from simple_crawler_ray.stages.extract import candidate_batch
+
+    batch = pa.table(
+        {
+            "url": pa.array(["https://h.example/parent"]),
+            "linked_urls": pa.array([["https://h.example/a", "https://h.example/b"]]),
+        }
+    )
+    depth = {"https://h.example/parent": 0}
+    first = candidate_batch(batch, depth_ref=depth, push_epoch="e1")
+    assert first.num_rows == 2
+    second = candidate_batch(batch, depth_ref=depth, push_epoch="e1")
+    assert second.num_rows == 0  # same epoch → already pushed
+    fresh = candidate_batch(batch, depth_ref=depth, push_epoch="e2")
+    assert fresh.num_rows == 2  # new crawl/resume → reset
+
+
 def test_sharded_seen_set(ray_session):
     from simple_crawler_ray.state.seen import ShardedSeenSet
 
