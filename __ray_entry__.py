@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e1_sessionize": ev.e1_sessionize,
         "e2_topk_users": ev.e2_topk_users,
         "m1_binary_features": mm.m1_binary_features,
+        "m2_frame_sample": mm.m2_frame_sample,
     }
 
 
@@ -289,6 +290,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
                    md5(text) AS content_md5
             FROM documents
+        """,
+        "m2_frame_sample": """
+            SELECT doc_id,
+                   CAST(i AS BIGINT) AS frame_idx,
+                   md5(substr(text, CAST(i * 256 + 1 AS BIGINT), 256)) AS frame_md5
+            FROM documents
+            JOIN (SELECT CAST(range AS BIGINT) AS i FROM range(0, 1000, 4)) n
+              ON i = 0 OR i * 256 < length(text)
         """,
         "d5_embedding_cosine_pairs": """
             SELECT CAST(a.vec_id AS BIGINT) AS vec_id_a,

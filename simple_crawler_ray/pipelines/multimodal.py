@@ -15,7 +15,13 @@ import hashlib
 import pandas as pd
 import ray.data as rd
 
-__all__ = ["decode_payload", "BinaryFeatureStage", "m1_binary_features"]
+__all__ = [
+    "decode_payload",
+    "BinaryFeatureStage",
+    "FrameSampleStage",
+    "m1_binary_features",
+    "m2_frame_sample",
+]
 
 
 def decode_payload(payload: bytes, kind: str = "image", fake: bool = False):
@@ -55,6 +61,54 @@ class BinaryFeatureStage:
                 ],
             }
         )
+
+
+class FrameSampleStage:
+    """Actor-pool frame-sampling stage: treat each binary payload as a
+    sequence of fixed-size frames and emit every ``sample_every``-th frame
+    as its own row (a flat-map explode — the video frame-sample shape of
+    the brief). A real decoder would split on container keyframes in
+    ``__init__``-loaded codec state; the deterministic byte-slicing
+    stand-in keeps the Ray plumbing (actor signature, explode layout,
+    batch sizing for large payloads) real."""
+
+    def __init__(self, frame_bytes: int = 256, sample_every: int = 4):
+        self.frame_bytes = frame_bytes
+        self.sample_every = sample_every
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, idxs, digests = [], [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            payload = text.encode("utf-8")
+            n_frames = max(1, -(-len(payload) // self.frame_bytes))
+            for fi in range(0, n_frames, self.sample_every):
+                frame = payload[fi * self.frame_bytes : (fi + 1) * self.frame_bytes]
+                ids.append(int(doc_id))
+                idxs.append(fi)
+                digests.append(hashlib.md5(frame).hexdigest())
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int64"),
+                "frame_md5": digests,
+            }
+        )
+
+
+def m2_frame_sample(sf_dir: str):
+    """Frame sampling over opaque binary payloads via an actor pool
+    (documents.text bytes stand in for the media column): every 4th
+    256-byte frame → (doc_id, frame_idx, frame_md5) rows. SQL oracle:
+    substr + md5 over a generated frame-index series."""
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"frame_bytes": 256, "sample_every": 4},
+        batch_format="pandas",
+        batch_size=1024,
+        concurrency=2,
+    )
 
 
 def m1_binary_features(sf_dir: str):
