@@ -129,6 +129,33 @@ def test_distributed_gate_matches_driver(ray_session):
         assert getattr(dist, side).equals(getattr(drv, side)), side
 
 
+def test_distributed_gate_crawl_outputs_invariant(
+    ray_session, small_corpus_dir, tmp_path
+):
+    """Forcing every round through the distributed gate stage must leave
+    crawl outputs identical to the driver-gate crawl."""
+    from simple_crawler_ray.pipelines.crawl import CrawlConfig, crawl
+
+    def run(tag, threshold):
+        return crawl(
+            CrawlConfig(
+                corpus_dir=small_corpus_dir,
+                out_dir=str(tmp_path / tag),
+                seed_urls=["https://host0.example"],
+                max_pages=None,
+                num_seen_shards=2,
+                num_buckets=8,
+                round_seconds=4.0,
+                gate_distributed_threshold=threshold,
+            )
+        )
+
+    drv = run("drv", 1 << 30)
+    dist = run("dist", 0)  # every non-empty frontier goes distributed
+    assert dist.order.equals(drv.order)
+    assert dist.seen.equals(drv.seen)
+
+
 def test_backoff_crawl_outputs_invariant(ray_session, small_corpus_dir, tmp_path):
     """Backoff decay changes round composition only — final crawl outputs
     are identical with it on or off."""
