@@ -41,6 +41,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--run-id", default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--no-sitemap", action="store_true")
+    p.add_argument(
+        "--no-backoff",
+        action="store_true",
+        help="disable the 429-equivalent per-host budget decay (ST7)",
+    )
+    p.add_argument(
+        "--adjacency-via-disk",
+        action="store_true",
+        help="10^10-scale adjacency: rounds return url-only metadata and "
+        "the final replay re-reads persisted parts in parallel Ray tasks",
+    )
     p.add_argument("--num-cpus", type=int, default=None)
     return p
 
@@ -74,6 +85,8 @@ def main(argv: list[str] | None = None) -> int:
         retries=args.retries,
         round_seconds=args.round_seconds,
         resume=args.resume,
+        backoff_enabled=not args.no_backoff,
+        adjacency_via_disk=args.adjacency_via_disk,
     )
     res = crawl(cfg)
     print(json.dumps(res.metrics["totals"]))

@@ -2,19 +2,22 @@
 replay + checkpoint/resume (rebuild of simple_crawler's main.py event loop,
 SURVEY §3.4).
 
-Per round r (all heavy work distributed, driver holds URL metadata only):
+Per round r (all heavy work distributed, driver holds round metadata only
+— no seen mirror, no corpus index; O(frontier) driver state):
 
   frontier_r (url, host, depth, parent)
     → politeness gate: robots Disallow → 403 rows; token-bucket over
-      crawl_delay → deferred rows (stages/politeness.py)
+      crawl_delay + 429-equivalent backoff decay → deferred rows
+      (stages/politeness.py; driver path or Ray groupby(host) stage)
     → "fetch" = pruned read of ONLY the corpus hash-buckets containing
       frontier URLs + broadcast semi-join filter (sources/pages.py — never
       a full corpus scan per round)
-    → fused extract: links (document order, same-domain) + golden text
-      (stages/extract.py, zero-copy Arrow actor pool)
-    → misses (allowed - found) → 404/ERROR rows
-    → candidates: explode outlinks → sharded Bloom+exact seen-set actors
-      admit first-seen (stages/extract.CandidateStage)
+    → fused extract tasks: links (document order, same-domain) + golden
+      text; candidates explode + worker-persistent push filter + direct
+      PUSH (pre-hashed sha1 keys) to host-affine seen shards
+      (stages/extract.py, zero-copy Arrow)
+    → misses (allowed − fetched, vectorized is_in diff) → 404/ERROR rows
+    → admission drain: one RPC per shard collects first-seen rows
     → frontier_{r+1} = deferred ∪ newly admitted
     → checkpoint epoch r: results Parquet + frontier segment Parquet +
       seen-shard snapshots + metrics manifest (resumable; north_rule)
