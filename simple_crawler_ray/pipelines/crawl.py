@@ -50,6 +50,7 @@ from ..sources.pages import (
     bucket_files_for,
     ensure_bucketed,
     load_meta_docs,
+    read_bucket_rows,
     url_bucket,
 )
 from ..stages.extract import crawl_round_batch, crawl_round_file_batch
@@ -468,14 +469,23 @@ def crawl(cfg: CrawlConfig, seen_set: ShardedSeenSet | None = None) -> CrawlResu
                 import shutil
 
                 shutil.rmtree(fetched_out)
+            sorted_allowed = sorted(allowed_urls)
             if len(allowed_urls) <= cfg.small_round_threshold:
-                # driver fast path: point-lookup fetch + inline extraction —
-                # no Ray Data execution for seed/straggler rounds
-                tbl = pads.dataset(files).to_table(
-                    columns=["url", "html"],
-                    filter=pc.field("url").isin(allowed_urls),
-                ) if files else pa.table({"url": pa.array([], pa.string()),
-                                          "html": pa.array([], pa.binary())})
+                # driver fast path: row-group-pruned point lookups + inline
+                # extraction — no Ray Data execution for seed/straggler
+                # rounds (bucket files are url-sorted, so only row groups
+                # overlapping the frontier decode)
+                tbl = (
+                    pa.concat_tables(
+                        [
+                            read_bucket_rows(f, sorted_allowed, ["url", "html"])
+                            for f in files
+                        ]
+                    )
+                    if files
+                    else pa.table({"url": pa.array([], pa.string()),
+                                   "html": pa.array([], pa.binary())})
+                )
                 meta_tbl = crawl_round_batch(
                     tbl,
                     url_set_ref=set(allowed_urls),
@@ -487,7 +497,10 @@ def crawl(cfg: CrawlConfig, seen_set: ShardedSeenSet | None = None) -> CrawlResu
                     push_epoch=push_epoch,
                 )
             else:
-                url_set_ref = ray.put(set(allowed_urls))
+                # ship the frontier as a SORTED list: tasks derive the
+                # membership set once per worker, and the sorted order
+                # drives parquet row-group pruning
+                url_set_ref = ray.put(sorted_allowed)
                 depth_ref = ray.put(depth_map)
                 meta_ds = rd.from_items([{"path": p} for p in files]).map_batches(
                     crawl_round_file_batch,

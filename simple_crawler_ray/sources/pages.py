@@ -63,13 +63,19 @@ def ensure_bucketed(
     """
     import ray.data as rd
 
+    layout_version = 3  # 3 = consolidated one-file-per-bucket, url-sorted
     marker = os.path.join(out_dir, "_BUCKETS_OK")
     if (
         os.path.exists(marker)
         and os.path.exists(os.path.join(out_dir, "_host_counts.parquet"))
         and os.path.isdir(os.path.join(out_dir, "_meta_docs"))
     ):
-        return out_dir
+        try:
+            with open(marker) as f:
+                if json.load(f).get("layout") == layout_version:
+                    return out_dir
+        except Exception:
+            pass
     if os.path.exists(out_dir):  # stale layout (older bucketize version)
         import shutil
 
@@ -85,8 +91,12 @@ def ensure_bucketed(
         b = group["bucket"][0].as_py()
         d = os.path.join(out_dir, f"bucket={b}")
         os.makedirs(d, exist_ok=True)
+        # sort by url so parquet row-group min/max stats support row-group
+        # pruning at fetch time (read_bucket_rows) — a frontier that touches
+        # k of a bucket's row groups decodes k*row_group_size rows, not the
+        # whole bucket
         _pq2.write_table(
-            group.drop_columns(["bucket"]),
+            group.drop_columns(["bucket"]).sort_by("url"),
             os.path.join(d, "part-0.parquet"),
             row_group_size=4096,
         )
@@ -142,7 +152,7 @@ def ensure_bucketed(
     )
     meta.write_parquet(os.path.join(out_dir, "_meta_docs"))
     with open(marker, "w") as f:
-        json.dump({"num_buckets": num_buckets, "source": pages_path}, f)
+        json.dump({"num_buckets": num_buckets, "source": pages_path, "layout": layout_version}, f)
     return out_dir
 
 
@@ -157,6 +167,41 @@ def load_meta_docs(bucket_dir: str) -> dict[str, str]:
         u: h.decode("utf-8", errors="replace")
         for u, h in zip(t["url"].to_pylist(), t["html"].to_pylist())
     }
+
+
+def read_bucket_rows(
+    path: str, sorted_urls: list[str], columns: list[str]
+) -> pa.Table:
+    """Row-group-pruned point read of one url-sorted bucket file: a row
+    group is decoded only if its [min, max] url range can contain a
+    frontier URL (binary search against the sorted frontier list). Rows
+    still need the exact membership filter afterwards — this prunes I/O
+    and decode, not semantics. Falls back to a full read when stats are
+    missing."""
+    import bisect
+
+    import pyarrow.parquet as _pq
+
+    pf = _pq.ParquetFile(path)
+    md = pf.metadata
+    try:
+        url_idx = pf.schema_arrow.names.index("url")
+    except ValueError:
+        return pf.read(columns=columns)
+    keep: list[int] = []
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(url_idx).statistics
+        if st is None or st.min is None or st.max is None:
+            keep.append(rg)
+            continue
+        lo = st.min if isinstance(st.min, str) else st.min.decode()
+        hi = st.max if isinstance(st.max, str) else st.max.decode()
+        i = bisect.bisect_left(sorted_urls, lo)
+        if i < len(sorted_urls) and sorted_urls[i] <= hi:
+            keep.append(rg)
+    if not keep:
+        return pf.schema_arrow.empty_table().select(columns)
+    return pf.read_row_groups(keep, columns=columns)
 
 
 def bucket_files_for(

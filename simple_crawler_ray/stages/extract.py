@@ -39,6 +39,21 @@ _BROADCAST_CACHE: dict[str, object] = {}
 _TASKPROF: dict = {}
 
 
+def _get_url_set(ref) -> set:
+    """The round's frontier URL broadcast ships as a SORTED LIST (the
+    row-group pruner needs it ordered); the membership set each task
+    filters with is derived once per worker and cached alongside."""
+    obj = _get_broadcast(ref)
+    if isinstance(obj, set):
+        return obj
+    key = (ref.hex() + ":set") if isinstance(ref, ray.ObjectRef) else None
+    if key is None:
+        return set(obj)
+    if key not in _BROADCAST_CACHE:
+        _BROADCAST_CACHE[key] = set(obj)
+    return _BROADCAST_CACHE[key]
+
+
 def _get_broadcast(ref):
     if not isinstance(ref, ray.ObjectRef):
         return ref  # driver fast path passes plain objects
@@ -71,7 +86,7 @@ def fetch_extract_batch(
     per downloader.py:46-51 + parser.py:43-46 (downloaded→parsed on
     success). Text is the byte-identical golden extraction.
     """
-    url_set: set[str] = _get_broadcast(url_set_ref)
+    url_set = _get_url_set(url_set_ref)
     mask = pa.array([u in url_set for u in batch["url"].to_pylist()], pa.bool_())
     batch = batch.filter(mask)
     urls = batch["url"].to_pylist()
@@ -219,12 +234,20 @@ def crawl_round_file_batch(
     this way on a 32-file bucket set. One task per bucket part file is also
     the right granularity at scale: the bucketize step writes ~128-256 MB
     parts, so tasks stay uniform without Ray's sampling machinery.
-    """
-    import pyarrow.parquet as pq
 
+    Reads are row-group pruned: bucket files are url-sorted at bucketize
+    time, so only row groups whose [min, max] url range can contain a
+    frontier URL are decoded (sources/pages.read_bucket_rows) — small and
+    straggler rounds stop paying whole-bucket decode.
+    """
+    from ..sources.pages import read_bucket_rows
+
+    sorted_urls = _get_broadcast(url_set_ref)
+    if isinstance(sorted_urls, set):
+        sorted_urls = sorted(sorted_urls)
     tables = [
         crawl_round_batch(
-            pq.read_table(path, columns=["url", "html"]),
+            read_bucket_rows(path, sorted_urls, columns=["url", "html"]),
             url_set_ref=url_set_ref,
             depth_ref=depth_ref,
             out_dir=out_dir,

@@ -5,6 +5,32 @@ from simple_crawler_ray.pipelines.crawl import CrawlConfig, crawl
 from simple_crawler_ray.reader import RunReader
 
 
+def test_read_bucket_rows_prunes_row_groups(tmp_path):
+    """Row-group pruning must return every frontier row that exists while
+    decoding only row groups whose url range overlaps the frontier."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_crawler_ray.sources.pages import read_bucket_rows
+
+    urls = [f"https://h.example/p{i:05d}" for i in range(1000)]
+    t = pa.table({"url": pa.array(urls), "html": pa.array([b"x"] * 1000, pa.binary())})
+    path = str(tmp_path / "bucket.parquet")
+    pq.write_table(t.sort_by("url"), path, row_group_size=100)
+
+    # frontier hits only the first and last row groups
+    wanted = sorted(["https://h.example/p00003", "https://h.example/p00999"])
+    out = read_bucket_rows(path, wanted, ["url", "html"])
+    got = set(out["url"].to_pylist())
+    assert set(wanted) <= got
+    assert out.num_rows <= 200  # 2 of 10 row groups decoded, not 1000 rows
+
+    # no overlap → empty, correct schema
+    none = read_bucket_rows(path, ["https://zzz.example/x"], ["url", "html"])
+    assert none.num_rows == 0
+    assert none.schema.names == ["url", "html"]
+
+
 def test_run_reader_surfaces(ray_session, small_corpus_dir, tmp_path):
     res = crawl(
         CrawlConfig(
