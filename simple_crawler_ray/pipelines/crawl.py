@@ -386,6 +386,13 @@ def crawl(cfg: CrawlConfig, seen_set: ShardedSeenSet | None = None) -> CrawlResu
     seen_set.admit(frontier["url"].to_pylist())
     retry_counts: dict[str, int] = {}
     host_backoff: dict[str, float] = {}  # ST7 429-equivalent decay state
+    # sliding window of recent frontiers (known-admitted URLs): broadcast
+    # each round so tasks drop re-links to recently crawled pages exactly,
+    # independent of worker count; bounded driver memory (never the full
+    # seen set — at 10^10 URLs this stays a few rounds of frontier)
+    from collections import deque
+
+    recent_frontiers: deque = deque(maxlen=3)
 
     if cfg.resume:
         resumed = _try_resume(cfg, seen_set, adjacency, metrics)
@@ -470,6 +477,8 @@ def crawl(cfg: CrawlConfig, seen_set: ShardedSeenSet | None = None) -> CrawlResu
 
                 shutil.rmtree(fetched_out)
             sorted_allowed = sorted(allowed_urls)
+            recent_frontiers.append(frontier["url"].to_pylist())
+            recent_urls = sorted(set().union(*recent_frontiers))
             if len(allowed_urls) <= cfg.small_round_threshold:
                 # driver fast path: row-group-pruned point lookups + inline
                 # extraction — no Ray Data execution for seed/straggler
@@ -495,6 +504,7 @@ def crawl(cfg: CrawlConfig, seen_set: ShardedSeenSet | None = None) -> CrawlResu
                     seen_pool=seen_set,
                     emit_links=emit_links,
                     push_epoch=push_epoch,
+                    recent_ref=set(recent_urls),
                 )
             else:
                 # ship the frontier as a SORTED list: tasks derive the
@@ -512,6 +522,7 @@ def crawl(cfg: CrawlConfig, seen_set: ShardedSeenSet | None = None) -> CrawlResu
                         "seen_pool": seen_set,
                         "emit_links": emit_links,
                         "push_epoch": push_epoch,
+                        "recent_ref": ray.put(recent_urls),
                     },
                     batch_format="pyarrow",
                     batch_size=1,  # one task per bucket part file

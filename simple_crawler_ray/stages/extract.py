@@ -50,6 +50,8 @@ def _get_url_set(ref) -> set:
     if key is None:
         return set(obj)
     if key not in _BROADCAST_CACHE:
+        while len(_BROADCAST_CACHE) >= 12:
+            _BROADCAST_CACHE.pop(next(iter(_BROADCAST_CACHE)))
         _BROADCAST_CACHE[key] = set(obj)
     return _BROADCAST_CACHE[key]
 
@@ -59,12 +61,14 @@ def _get_broadcast(ref):
         return ref  # driver fast path passes plain objects
     key = ref.hex()
     if key not in _BROADCAST_CACHE:
-        # a round uses ≤3 broadcasts (url set, depth map, seen set) but the
-        # seen-set broadcast can be many MB — keep the cache TINY or workers
-        # accumulate hundreds of MB across rounds/crawls and GC pressure
-        # degrades every later execution
-        if len(_BROADCAST_CACHE) >= 6:
-            _BROADCAST_CACHE.clear()
+        # a round uses ~5 broadcast-derived entries (frontier list + its
+        # derived set, depth map, recent list + its derived set); evict
+        # FIFO — clear-all here caused mid-round thrash where every task
+        # re-deserialized + re-built the sets, and unbounded growth makes
+        # workers accumulate hundreds of MB across rounds (GC pressure
+        # degrades every later execution)
+        while len(_BROADCAST_CACHE) >= 12:
+            _BROADCAST_CACHE.pop(next(iter(_BROADCAST_CACHE)))
         _BROADCAST_CACHE[key] = ray.get(ref)
     return _BROADCAST_CACHE[key]
 
@@ -124,6 +128,7 @@ def crawl_round_batch(
     seen_pool=None,
     emit_links: bool = True,
     push_epoch: str | None = None,
+    recent_ref=None,
 ) -> pa.Table:
     """The WHOLE crawl round as one fused stage → one Ray Data execution per
     round (fetch-filter → extract → persist → explode+local-dedup →
@@ -182,6 +187,7 @@ def crawl_round_batch(
             num_shards=seen_pool.num_shards,
             salt=seen_pool.salt,
             push_epoch=push_epoch,
+            recent_ref=recent_ref,
         )
         _t3 = _time.perf_counter()
         if candidates.num_rows:
@@ -223,6 +229,7 @@ def crawl_round_file_batch(
     seen_pool=None,
     emit_links: bool = True,
     push_epoch: str | None = None,
+    recent_ref=None,
 ) -> pa.Table:
     """Per-file driver of the fused round stage: input batches carry bucket
     Parquet file PATHS; each task opens its file directly and runs
@@ -255,6 +262,7 @@ def crawl_round_file_batch(
             seen_pool=seen_pool,
             emit_links=emit_links,
             push_epoch=push_epoch,
+            recent_ref=recent_ref,
         )
         for path in batch["path"].to_pylist()
     ]
@@ -281,6 +289,7 @@ def candidate_batch(
     num_shards: int = 8,
     salt: dict | None = None,
     push_epoch: str | None = None,
+    recent_ref=None,
 ) -> pa.Table:
     """Explode outlinks to candidate rows, deduped against everything this
     worker already pushed (exact; cuts the admission-push volume), with the
@@ -314,6 +323,14 @@ def candidate_batch(
     persistent = push_epoch is not None
 
     depth_map: dict[str, int] = _get_broadcast(depth_ref)
+    # recent-frontier drop set: every URL that appeared in the last few
+    # rounds' frontiers is a KNOWN member of the seen set, so dropping a
+    # link to it is exact — and, unlike the per-worker push filter, this
+    # broadcast is identical for every worker (worker-count-independent
+    # traffic reduction; in a web graph most re-links target recently
+    # crawled pages). Bounded: the driver ships a sliding window, never
+    # the full seen set.
+    recent: set = _get_url_set(recent_ref) if recent_ref is not None else set()
     parents = batch["url"].to_pylist()
     link_lists = batch["linked_urls"].to_pylist()
     batch_seen: set = pushed if persistent else set()
@@ -324,6 +341,8 @@ def candidate_batch(
     for parent, plinks in zip(parents, link_lists):
         d = depth_map.get(parent, 0) + 1
         for link in plinks or ():
+            if link in recent:
+                continue  # exact: member of a recent frontier ⇒ admitted
             k = url_key(link)
             if k not in batch_seen:
                 batch_seen.add(k)
