@@ -49,6 +49,21 @@ def test_resume_matches_fresh_run(ray_session, small_corpus_dir, tmp_path):
     assert sorted(uo_res["url"].to_pylist()) == sorted(uo_fresh["url"].to_pylist())
 
 
+def test_resume_matches_fresh_adjacency_via_disk(
+    ray_session, small_corpus_dir, tmp_path
+):
+    """Resume in the 10^10-scale adjacency mode (emit_links=False +
+    post-loop disk replay) must also reconverge to the fresh run."""
+    fresh = crawl(_cfg(small_corpus_dir, str(tmp_path / "fresh")))
+    out = str(tmp_path / "res_disk")
+    crawl(_cfg(small_corpus_dir, out, max_rounds=2, adjacency_via_disk=True))
+    resumed = crawl(
+        _cfg(small_corpus_dir, out, resume=True, adjacency_via_disk=True)
+    )
+    assert resumed.order.equals(fresh.order)
+    assert resumed.seen.equals(fresh.seen)
+
+
 def test_resume_noop_when_no_checkpoint(ray_session, small_corpus_dir, tmp_path):
     """resume=True on an empty out_dir falls back to a fresh run."""
     res = crawl(_cfg(small_corpus_dir, str(tmp_path / "empty"), resume=True))
