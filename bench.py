@@ -293,7 +293,15 @@ def run_scaling(sf_dir: str, n_low: int = 4, n_high: int = 16, legs: int = 2) ->
 if __name__ == "__main__":
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling(sf_dir)))
+        # optional explicit legs: `--scaling 4 16` (default) or e.g. `1 4`
+        # — both are N vs 4N pairs; small legs dodge the same-box
+        # memory-bandwidth ceiling that an all-core high leg hits
+        i = sys.argv.index("--scaling")
+        rest = [a for a in sys.argv[i + 1 :] if a.isdigit()]
+        if len(rest) >= 2:
+            print(json.dumps(run_scaling(sf_dir, int(rest[0]), int(rest[1]))))
+        else:
+            print(json.dumps(run_scaling(sf_dir)))
     else:
         num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
         print(
