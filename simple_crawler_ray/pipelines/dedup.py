@@ -446,7 +446,10 @@ def d5_embedding_cosine_pairs(sf_dir: str, threshold: float = 0.4, max_vec_id: i
     path = f"{sf_dir}/embeddings.parquet"
     block = (
         rd.read_parquet(path, columns=["vec_id", "embedding"])
-        .filter(lambda r: r["vec_id"] < max_vec_id)
+        .map_batches(
+            lambda t: t.filter(pa.compute.less(t["vec_id"], max_vec_id)),
+            batch_format="pyarrow",
+        )
         .to_pandas()
     )
     ids = block["vec_id"].to_numpy().astype(np.int64)

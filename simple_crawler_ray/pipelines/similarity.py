@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -33,7 +34,10 @@ def s1_knn_bruteforce(sf_dir: str):
     path = f"{sf_dir}/embeddings.parquet"
     queries = (
         rd.read_parquet(path, columns=["vec_id", "embedding"])
-        .filter(lambda r: r["vec_id"] < _N_QUERIES)
+        .map_batches(
+            lambda t: t.filter(pc.less(t["vec_id"], _N_QUERIES)),
+            batch_format="pyarrow",
+        )
         .to_pandas()
     )
     q_ids = queries["vec_id"].to_numpy()
@@ -120,7 +124,10 @@ def s2_ann_lsh(sf_dir: str, n_planes: int | None = None, probe_radius: int = 3):
     # query — tiny; at large n_planes this becomes a hash set per query)
     queries = (
         rd.read_parquet(path, columns=["vec_id", "embedding"])
-        .filter(lambda r: r["vec_id"] < _N_QUERIES)
+        .map_batches(
+            lambda t: t.filter(pc.less(t["vec_id"], _N_QUERIES)),
+            batch_format="pyarrow",
+        )
         .to_pandas()
     )
     q_ids = queries["vec_id"].to_numpy().astype(np.int64)
