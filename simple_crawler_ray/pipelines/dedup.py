@@ -227,13 +227,20 @@ def d2_minhash_lsh(sf_dir: str, threshold: float = 0.5):
     )
 
 
+# worker-persistent token→hash memo (corpus vocabulary repeats heavily;
+# values are pure functions of the token, so staleness cannot exist)
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+
+
 def _simhash_batch(batch: pd.DataFrame) -> pd.DataFrame:
     """Vectorized 64-bit SimHash per document: token hashes collect into a
     (n_tokens,) uint64 array, bit voting runs as one broadcasted
-    unpack+sum — no per-bit Python loop. Token→hash memoized across the
-    batch (corpus vocabulary repeats heavily)."""
+    unpack+sum — no per-bit Python loop. Token→hash memoized across
+    batches per worker."""
     shifts = np.arange(64, dtype=np.uint64)
-    cache: dict[str, int] = {}
+    if len(_TOKEN_HASH_CACHE) > 2_000_000:
+        _TOKEN_HASH_CACHE.clear()
+    cache = _TOKEN_HASH_CACHE
     out = []
     for text in batch["text"]:
         toks = set(text.split())
