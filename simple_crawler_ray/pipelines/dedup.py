@@ -5,12 +5,16 @@ training-data pipeline.
 
 Scale shapes:
 - exact dedup: content-hash column in a vectorized ``map_batches`` →
-  ``groupby(hash)`` (the only shuffle) → Min/Count per group;
+  partial per-batch combine → coarse-hash-partitioned final shuffle
+  (``partitioned_group_agg``; no driver merge anywhere);
 - MinHash: per-batch vectorized numpy signatures → explode to
-  (band, band_hash, doc_id) rows → ``groupby`` band buckets → candidate
-  pairs inside ``map_groups`` → exact-Jaccard verification (sketch-then-
-  verify, ray_guide §agg);
-- SimHash: 64-bit signature per doc, vectorized per batch.
+  (band, band_hash, doc_id) rows → coarse-partitioned bucket pairing →
+  pair-dedup shuffle → distributed exact-Jaccard verification
+  (sketch-then-verify, ray_guide §agg);
+- SimHash: 64-bit vectorized signatures; near-dup search = banded
+  Hamming buckets + XOR-popcount verify (d3b);
+- embedding cosine: broadcast block + streamed matmul (d5), LSH-bucketed
+  via s2's machinery at scale.
 """
 
 from __future__ import annotations

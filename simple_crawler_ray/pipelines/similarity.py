@@ -5,8 +5,10 @@
   corpus streams through ``map_batches`` while the small query set rides
   along via ``ray.put``). DuckDB-oracle-checked (rank-exact, float64 math
   on both sides).
-- ``s2_ann_lsh``: the scale path — random-hyperplane LSH buckets; each
-  query only scans its own bucket (approximate; rows-only check).
+- ``s2_ann_lsh``: the scale path — multi-probe random-hyperplane LSH;
+  the corpus streams through ``map_batches`` and each batch scores only
+  rows whose bucket falls in a query's probe set (approximate; rows-only
+  check + recall@10 ≥ 0.9 floor test).
 """
 
 from __future__ import annotations
