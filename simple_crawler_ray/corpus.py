@@ -64,6 +64,27 @@ class CorpusSpec:
         return CorpusSpec(n_pages=n_pages, n_hosts=n_hosts, branch=branch, seed=seed)
 
     @staticmethod
+    def for_scaling(sf: float, seed: int = 42) -> "CorpusSpec":
+        """Scaling-leg corpus: same page count as the bench corpus but
+        ~3× the text per page (~18 KB — much closer to real web-page
+        weight than the 6 KB bench pages). The scaling criterion compares
+        the SAME job at two CPU counts; heavier pages make the
+        distributed work dominate the per-job fixed cost (round
+        launches + serial replay ≈ constant seconds) the way a
+        production-size corpus would — at 10^10 URLs that fixed cost is
+        noise, and a 60k-page toy corpus must not let it dominate the
+        measurement."""
+        base = CorpusSpec.for_bench(sf, seed)
+        return CorpusSpec(
+            n_pages=base.n_pages,
+            n_hosts=base.n_hosts,
+            branch=base.branch,
+            extra_links=base.extra_links,
+            n_paragraphs=90,
+            seed=seed,
+        )
+
+    @staticmethod
     def for_bench(sf: float, seed: int = 42) -> "CorpusSpec":
         """Bench corpus: more pages and heavier HTML (~10 KB, dozens of
         links — much closer to real page weight than the tiny test pages)

@@ -484,17 +484,24 @@ def crawl(cfg: CrawlConfig, seen_set: ShardedSeenSet | None = None) -> CrawlResu
                 # extraction — no Ray Data execution for seed/straggler
                 # rounds (bucket files are url-sorted, so only row groups
                 # overlapping the frontier decode)
-                tbl = (
-                    pa.concat_tables(
-                        [
-                            read_bucket_rows(f, sorted_allowed, ["url", "html"])
-                            for f in files
-                        ]
-                    )
-                    if files
-                    else pa.table({"url": pa.array([], pa.string()),
-                                   "html": pa.array([], pa.binary())})
-                )
+                if files:
+                    # parquet reads release the GIL → thread pool turns the
+                    # per-file point lookups concurrent on the driver
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    with ThreadPoolExecutor(max_workers=8) as ex:
+                        parts = list(
+                            ex.map(
+                                lambda f: read_bucket_rows(
+                                    f, sorted_allowed, ["url", "html"]
+                                ),
+                                files,
+                            )
+                        )
+                    tbl = pa.concat_tables(parts)
+                else:
+                    tbl = pa.table({"url": pa.array([], pa.string()),
+                                    "html": pa.array([], pa.binary())})
                 meta_tbl = crawl_round_batch(
                     tbl,
                     url_set_ref=set(allowed_urls),
