@@ -386,6 +386,7 @@ def crawl(cfg: CrawlConfig, seen_set: ShardedSeenSet | None = None) -> CrawlResu
     seen_set.admit(frontier["url"].to_pylist())
     retry_counts: dict[str, int] = {}
     host_backoff: dict[str, float] = {}  # ST7 429-equivalent decay state
+    backoff_deferred_prev: set = set()  # hosts deferred in the previous round
     # sliding window of recent frontiers (known-admitted URLs): broadcast
     # each round so tasks drop re-links to recently crawled pages exactly,
     # independent of worker count; bounded driver memory (never the full
@@ -434,14 +435,34 @@ def crawl(cfg: CrawlConfig, seen_set: ShardedSeenSet | None = None) -> CrawlResu
             distributed_threshold=cfg.gate_distributed_threshold,
         )
         allowed, deferred = gate.allowed, gate.deferred
-        if cfg.backoff_enabled and gate.deferred.num_rows:
-            # 429-equivalent signal: this host saturated its budget this
-            # round → decay its refill rate (never reset, like the
-            # reference's check_every)
-            for h in set(gate.deferred["host"].to_pylist()):
+        if cfg.backoff_enabled:
+            deferred_hosts = (
+                set(gate.deferred["host"].to_pylist())
+                if gate.deferred.num_rows
+                else set()
+            )
+            # 429-equivalent signal: a host NEWLY saturating its budget →
+            # decay its refill rate ×1.5, once per congestion episode.
+            # Decaying on every deferred round would be a positive
+            # feedback loop (the engine's own decay shrinks the budget,
+            # which defers more, which decays again, up to the cap): a
+            # host that STAYS deferred is just draining at its decayed
+            # rate, not signalling new pressure.
+            for h in deferred_hosts - backoff_deferred_prev:
                 host_backoff[h] = min(
                     100.0, host_backoff.get(h, 1.0) * BACKOFF_MULTIPLIER
                 )
+            # relax one step when a previously-congested host's frontier
+            # clears within budget (its pressure is gone)
+            if host_backoff and allowed.num_rows:
+                cleared = set(allowed["host"].to_pylist()) - deferred_hosts
+                for h in cleared & host_backoff.keys():
+                    f = host_backoff[h] / BACKOFF_MULTIPLIER
+                    if f <= 1.0:
+                        del host_backoff[h]
+                    else:
+                        host_backoff[h] = f
+            backoff_deferred_prev = deferred_hosts
         if cfg.max_fetch_per_round and allowed.num_rows > cfg.max_fetch_per_round:
             # keep the most recently admitted rows (DFS locality: the tail
             # of the frontier is what the LIFO replay needs first);
@@ -641,13 +662,21 @@ def crawl(cfg: CrawlConfig, seen_set: ShardedSeenSet | None = None) -> CrawlResu
 
         r += 1
         if state == "done" and replay.done():
+            exhausted = True
             break
         if frontier.num_rows == 0:
+            exhausted = True
             break
+    else:
+        exhausted = False  # while condition fell through: max_rounds hit
 
     # ---- final outputs ---------------------------------------------------
     t_final = time.perf_counter()
-    truncated = not replay.done() and r >= cfg.max_rounds
+    # truncated = the ROUND LIMIT stopped us, not exhaustion. r is
+    # incremented before the empty-frontier break, so comparing r to
+    # max_rounds would misreport a crawl whose frontier empties during the
+    # final allowed round (round-2 ADVICE) — track the exit reason instead.
+    truncated = not replay.done() and not exhausted
     if not replay.done() and cfg.max_pages is None:
         # exhaustion path: integer-ID replay over pure Arrow metadata —
         # accumulated per round (default) or re-read from the persisted

@@ -13,7 +13,19 @@ from __future__ import annotations
 import hashlib
 
 import pandas as pd
+import ray
 import ray.data as rd
+
+
+def _pool_size() -> tuple[int, int]:
+    """Actor-pool bounds sized to the cluster: autoscale 2 → all CPUs.
+    A hard-coded ``concurrency=2`` left 30 of 32 cores idle in the
+    round-2 bench tail (VERDICT 'What's wrong' #6)."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return (2, max(2, cpus))
 
 __all__ = [
     "decode_payload",
@@ -72,13 +84,30 @@ class FrameSampleStage:
     stand-in keeps the Ray plumbing (actor signature, explode layout,
     batch sizing for large payloads) real."""
 
-    def __init__(self, frame_bytes: int = 256, sample_every: int = 4):
+    def __init__(
+        self,
+        frame_bytes: int = 256,
+        sample_every: int = 4,
+        assert_ascii: bool = False,
+    ):
         self.frame_bytes = frame_bytes
         self.sample_every = sample_every
+        # The m2 DuckDB oracle slices with substr/length over CHARACTERS
+        # (DuckDB has no blob substring), while this stage frames BYTES.
+        # The two agree iff the text is pure ASCII. The oracle-paired
+        # query sets assert_ascii=True so a non-ASCII corpus fails loudly
+        # instead of silently diverging from the oracle (round-2 ADVICE);
+        # real binary-payload use leaves it False.
+        self.assert_ascii = assert_ascii
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         ids, idxs, digests = [], [], []
         for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            if self.assert_ascii and not text.isascii():
+                raise ValueError(
+                    f"doc {doc_id}: non-ASCII text under assert_ascii — the "
+                    "char-based SQL oracle would diverge from byte framing"
+                )
             payload = text.encode("utf-8")
             n_frames = max(1, -(-len(payload) // self.frame_bytes))
             for fi in range(0, n_frames, self.sample_every):
@@ -99,15 +128,21 @@ def m2_frame_sample(sf_dir: str):
     """Frame sampling over opaque binary payloads via an actor pool
     (documents.text bytes stand in for the media column): every 4th
     256-byte frame → (doc_id, frame_idx, frame_md5) rows. SQL oracle:
-    substr + md5 over a generated frame-index series."""
+    substr + md5 over a generated frame-index series. The oracle slices
+    characters, the stage slices bytes — equal only for ASCII corpora, so
+    ``assert_ascii=True`` turns a non-ASCII input into a loud error."""
     return rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(
         FrameSampleStage,
-        fn_constructor_kwargs={"frame_bytes": 256, "sample_every": 4},
+        fn_constructor_kwargs={
+            "frame_bytes": 256,
+            "sample_every": 4,
+            "assert_ascii": True,
+        },
         batch_format="pandas",
         batch_size=1024,
-        concurrency=2,
+        concurrency=_pool_size(),
     )
 
 
@@ -122,5 +157,5 @@ def m1_binary_features(sf_dir: str):
         fn_constructor_kwargs={"fake": True},
         batch_format="pandas",
         batch_size=1024,
-        concurrency=2,
+        concurrency=_pool_size(),
     )

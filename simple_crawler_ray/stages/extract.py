@@ -156,7 +156,10 @@ def crawl_round_batch(
     returns, so a finished round execution implies every shard has
     processed its pushes; the driver then collects the admitted rows with
     one ``drain_admitted`` RPC per shard. A retried task re-pushes, which
-    is safe: shard admission is exact and idempotent per URL.
+    is safe: shard admission is exact and idempotent per URL — and the
+    worker-persistent push filter is only updated AFTER the acks succeed
+    (``commit_pushed_keys``), so a retry after a mid-push failure cannot
+    be silently filtered out.
 
     Returns ONLY small per-page metadata rows:
     ``(url, host, linked_urls)`` — adjacency for the budgeted replay, and
@@ -192,6 +195,9 @@ def crawl_round_batch(
         _t3 = _time.perf_counter()
         if candidates.num_rows:
             ray.get(seen_pool.push_candidates(candidates))
+            # only now are these keys durably at their shards — safe to
+            # suppress them from this worker's future pushes
+            commit_pushed_keys(push_epoch, candidates["key"].to_pylist())
     _t4 = _time.perf_counter()
     if os.environ.get("SCR_TASKPROF"):
         _TASKPROF["extract"] = _TASKPROF.get("extract", 0) + (_t1 - _t0)
@@ -282,6 +288,20 @@ _PUSH_FILTER: dict = {"epoch": None, "keys": set()}
 _PUSH_FILTER_CAP = 8_000_000  # ~160 MB of sha1 keys per worker, worst case
 
 
+def commit_pushed_keys(push_epoch: str | None, keys) -> None:
+    """Commit a batch's candidate keys into the worker-persistent push
+    filter — called ONLY after the shard push acks succeeded.
+
+    ``candidate_batch`` reads the filter but never writes it: if the task
+    dies between building candidates and a successful ``ray.get`` on the
+    push acks, a retry on the same worker must re-push those keys. Marking
+    them pushed before the ack would silently drop them from the crawl.
+    """
+    if push_epoch is None or _PUSH_FILTER["epoch"] != push_epoch:
+        return
+    _PUSH_FILTER["keys"].update(keys)
+
+
 def candidate_batch(
     batch: pa.Table,
     *,
@@ -318,6 +338,9 @@ def candidate_batch(
     if _PUSH_FILTER["epoch"] != push_epoch or len(_PUSH_FILTER["keys"]) > _PUSH_FILTER_CAP:
         _PUSH_FILTER["epoch"] = push_epoch
         _PUSH_FILTER["keys"] = set()
+    # READ-ONLY view: a batch's own keys are committed via
+    # commit_pushed_keys() only after the shard push is acked, so a task
+    # retried after a failed push re-pushes them (see ADVICE round 2).
     pushed: set = _PUSH_FILTER["keys"]
     # epoch=None (direct/unit-test calls) keeps filtering batch-local only
     persistent = push_epoch is not None
@@ -333,7 +356,7 @@ def candidate_batch(
     recent: set = _get_url_set(recent_ref) if recent_ref is not None else set()
     parents = batch["url"].to_pylist()
     link_lists = batch["linked_urls"].to_pylist()
-    batch_seen: set = pushed if persistent else set()
+    batch_new: set = set()
     links: list[str] = []
     keys: list[bytes] = []
     out_parents: list[str] = []
@@ -344,8 +367,8 @@ def candidate_batch(
             if link in recent:
                 continue  # exact: member of a recent frontier ⇒ admitted
             k = url_key(link)
-            if k not in batch_seen:
-                batch_seen.add(k)
+            if k not in batch_new and not (persistent and k in pushed):
+                batch_new.add(k)
                 links.append(link)
                 keys.append(k)
                 out_parents.append(parent)

@@ -19,10 +19,14 @@ ordering parity (replay) is unaffected.
 Backoff decay (ST7; reference multiplies its poll interval ×1.5 after an
 HTTP 429, main.py:80-84): the corpus-join fetch cannot produce a live 429,
 so the engine's 429-equivalent signal is DEFER PRESSURE — a host that
-exceeded its token budget in a round. Each such round multiplies the
-host's backoff factor by 1.5 (never reset, like the reference's
-check_every), dividing its effective per-round budget. Scheduling-only:
-outputs are invariant (docs/SEMANTICS.md).
+exceeded its token budget in a round. Each *transition into* deferral
+(a new congestion episode) multiplies the host's backoff factor by 1.5,
+dividing its effective per-round budget; a host that merely stays
+deferred while draining at its decayed rate is not decayed again (that
+would be a positive feedback loop driven by the engine's own decay, not
+by pressure — round-2 ADVICE), and the factor relaxes one ×1.5 step on
+each round the host clears within budget. Scheduling-only: outputs are
+invariant (docs/SEMANTICS.md).
 
 Execution: the per-host kernel is shared by two drivers —
 ``politeness_gate`` runs it on the driver (pandas groupby over the round

@@ -132,14 +132,32 @@ class SeenShard:
     def size(self) -> int:
         return len(self._exact)
 
+    # Bump whenever the snapshot payload semantics change (v2 = sha1(raw
+    # url) digests in `exact`; v1, unversioned, stored canonicalized URL
+    # strings). restore() REFUSES a mismatched snapshot rather than
+    # silently loading a set whose membership probes would all miss and
+    # re-admit duplicates (round-2 ADVICE).
+    SNAPSHOT_VERSION = 2
+
     def snapshot(self) -> bytes:
         return pickle.dumps(
-            {"bloom": self._bloom.to_bytes(), "exact": self._exact},
+            {
+                "version": self.SNAPSHOT_VERSION,
+                "bloom": self._bloom.to_bytes(),
+                "exact": self._exact,
+            },
             protocol=pickle.HIGHEST_PROTOCOL,
         )
 
     def restore(self, data: bytes) -> int:
         state = pickle.loads(data)
+        got = state.get("version")
+        if got != self.SNAPSHOT_VERSION:
+            raise ValueError(
+                f"seen-shard snapshot version mismatch: checkpoint has "
+                f"{got!r}, this engine writes {self.SNAPSHOT_VERSION}; "
+                "refusing to resume from an incompatible seen snapshot"
+            )
         self._bloom = BloomFilter.from_bytes(state["bloom"])
         self._exact = state["exact"]
         self._admitted_rows = []

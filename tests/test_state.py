@@ -93,11 +93,12 @@ def test_push_drain_admission(ray_session):
 
 
 def test_candidate_push_filter_epochs(ray_session):
-    """Worker-persistent push filter: within one epoch a worker never
-    re-emits a key; a new epoch resets the filter."""
+    """Worker-persistent push filter: keys suppress re-emission only after
+    an explicit post-ack commit (a retried task whose push failed must
+    re-emit); a new epoch resets the filter."""
     import pyarrow as pa
 
-    from simple_crawler_ray.stages.extract import candidate_batch
+    from simple_crawler_ray.stages.extract import candidate_batch, commit_pushed_keys
 
     batch = pa.table(
         {
@@ -108,10 +109,17 @@ def test_candidate_push_filter_epochs(ray_session):
     depth = {"https://h.example/parent": 0}
     first = candidate_batch(batch, depth_ref=depth, push_epoch="e1")
     assert first.num_rows == 2
+    # no commit yet (models a task whose shard push failed before ack):
+    # a retry MUST re-emit the same candidates
+    retry = candidate_batch(batch, depth_ref=depth, push_epoch="e1")
+    assert retry.num_rows == 2
+    commit_pushed_keys("e1", first["key"].to_pylist())
     second = candidate_batch(batch, depth_ref=depth, push_epoch="e1")
-    assert second.num_rows == 0  # same epoch → already pushed
+    assert second.num_rows == 0  # same epoch, acked → already pushed
     fresh = candidate_batch(batch, depth_ref=depth, push_epoch="e2")
     assert fresh.num_rows == 2  # new crawl/resume → reset
+    commit_pushed_keys("e1", first["key"].to_pylist())  # stale-epoch commit: no-op
+    assert candidate_batch(batch, depth_ref=depth, push_epoch="e2").num_rows == 2
 
 
 def test_sharded_seen_set(ray_session):
@@ -133,3 +141,60 @@ def test_sharded_seen_set(ray_session):
     seen2.restore(snaps)
     assert seen2.total() == 20
     assert not any(seen2.admit(urls[:3]))
+
+
+def test_snapshot_version_refused(ray_session):
+    """A pre-versioning (or future-version) seen snapshot must be refused
+    at restore, not silently loaded with mismatched key types."""
+    import pickle
+
+    import pytest
+    import ray
+
+    from simple_crawler_ray.state.seen import ShardedSeenSet
+
+    seen = ShardedSeenSet(num_shards=1, num_bits=1 << 12)
+    seen.admit(["https://h.example/a"])
+    good = seen.snapshots()[0]
+    state = pickle.loads(good)
+    assert state["version"] == 2
+
+    # v1-style snapshot: no version field, exact set of URL STRINGS
+    legacy = pickle.dumps({"bloom": state["bloom"], "exact": {"https://h.example/a"}})
+    seen2 = ShardedSeenSet(num_shards=1, num_bits=1 << 12)
+    with pytest.raises((ValueError, ray.exceptions.RayTaskError)):
+        seen2.restore([legacy])
+    seen.shutdown()
+    seen2.shutdown()
+
+
+def test_truncated_flag_exit_reason(ray_session, small_corpus_dir, tmp_path):
+    """A crawl whose frontier empties during the FINAL allowed round is
+    'complete', not 'truncated' (exit reason, not r vs max_rounds)."""
+    from simple_crawler_ray.pipelines.crawl import CrawlConfig, crawl
+
+    def run(tag, max_rounds):
+        return crawl(
+            CrawlConfig(
+                corpus_dir=small_corpus_dir,
+                out_dir=str(tmp_path / tag),
+                seed_urls=["https://host0.example"],
+                max_pages=None,
+                num_seen_shards=2,
+                num_buckets=8,
+                max_rounds=max_rounds,
+            )
+        )
+
+    free = run("free", 1000)
+    assert free.metrics["totals"]["truncated"] is False
+    # same crawl with max_rounds == the exact number of rounds it needs:
+    # the frontier empties during the last allowed round → still complete
+    exact = run("exact", free.rounds)
+    assert exact.rounds == free.rounds
+    assert exact.metrics["totals"]["truncated"] is False
+    assert exact.order.equals(free.order)
+    # one round fewer genuinely truncates
+    if free.rounds > 1:
+        cut = run("cut", free.rounds - 1)
+        assert cut.metrics["totals"]["truncated"] is True
