@@ -134,13 +134,31 @@ def q1_pricing_summary(sf_dir: str):
 
 
 def q2_topk_orders(sf_dir: str):
-    """Global top-k: distributed sort + limit (SURVEY §2.6 — absent in the
-    reference; Ray `sort` is the all-to-all here, k rows come back)."""
-    ds = rd.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_totalprice", "o_orderdate"],
+    """Global top-k WITHOUT a global sort (SURVEY §2.6 — absent in the
+    reference): each batch keeps its local top-k (≤ k rows leave the
+    batch), the driver merges the ≤ k×n_batches survivors — no all-to-all
+    shuffle of the full table, unlike ``sort().limit(k)`` (round-2
+    VERDICT 'What's wrong' #4; same shape as s1's partial top-k)."""
+    k = 10
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).head(k)
+
+    parts = (
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_totalprice", "o_orderdate"],
+        )
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
     )
-    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    return (
+        parts.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
 
 
 def q3_segment_revenue(sf_dir: str):
