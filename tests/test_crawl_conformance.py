@@ -103,6 +103,24 @@ def test_urls_out_shape(ray_session, small_corpus_dir, tmp_path):
             assert content is not None and content.startswith(b"<html>")
 
 
+def test_urls_out_join_path_matches_broadcast(
+    ray_session, small_corpus_dir, tmp_path, monkeypatch
+):
+    """The writer's large-scale path (Dataset.join hash shuffle) must
+    produce the same urls_out rows as the small-crawl broadcast path."""
+    from simple_crawler_ray.pipelines import crawl as crawl_mod
+
+    res_b = _run(small_corpus_dir, tmp_path / "b", max_pages=15, run_id="tj")
+    monkeypatch.setattr(crawl_mod, "_URLS_OUT_BROADCAST_MAX", 0)
+    res_j = _run(small_corpus_dir, tmp_path / "j", max_pages=15, run_id="tj")
+
+    def canon(path):
+        t = pq.read_table(f"{path}/urls_out").drop_columns(["created_at"])
+        return t.sort_by("url").to_pylist()
+
+    assert canon(res_j.out_dir) == canon(res_b.out_dir)
+
+
 def test_politeness_deferral_changes_schedule_not_outputs(
     ray_session, small_corpus_dir, corpus_bits, tmp_path
 ):
