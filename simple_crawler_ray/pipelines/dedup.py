@@ -201,7 +201,15 @@ def d2_minhash_lsh(sf_dir: str, threshold: float = 0.5):
     if cand.empty:
         return pd.DataFrame(_EMPTY_PAIRS)
 
-    # distributed shingle extraction for ONLY the candidate participants
+    # exact-Jaccard verify as TWO HASH JOINS (round-2 VERDICT item #4):
+    # shingle sets for the candidate participants are extracted
+    # distributed (sorted-unique int64 arrays, shipped as binary — Acero
+    # rejects list payloads), the pairs table joins a-side then b-side,
+    # and the per-pair Jaccard runs inside map_batches. No driver dict of
+    # shingle sets, no driver pair loop — the verify scales with cluster
+    # width even on dup-heavy corpora where candidate pairs explode.
+    import pyarrow as _pa
+
     import ray as _ray
 
     ids_ref = _ray.put(
@@ -214,30 +222,71 @@ def d2_minhash_lsh(sf_dir: str, threshold: float = 0.5):
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].astype("int64"),
-                "shingles": [
-                    np.fromiter(word_shingles(t), dtype=np.int64)
+                "sh": [
+                    np.unique(
+                        np.fromiter(word_shingles(t), dtype=np.int64)
+                    ).tobytes()
                     for t in batch["text"]
                 ],
             }
         )
 
-    parts = docs.map_batches(
-        participant_shingles, batch_format="pandas", batch_size=1024
-    ).to_pandas()
-    smap = {int(r.doc_id): set(r.shingles.tolist()) for r in parts.itertuples()}
-    keep = []
-    for a, b in zip(cand["doc_a"], cand["doc_b"]):
-        sa, sb = smap[int(a)], smap[int(b)]
-        union = len(sa | sb)
-        j = len(sa & sb) / union if union else 0.0
-        if j >= threshold:
-            keep.append((int(a), int(b)))
-    keep.sort()
-    return (
-        pd.DataFrame(keep, columns=["doc_a", "doc_b"])
-        if keep
-        else pd.DataFrame(_EMPTY_PAIRS)
+    sh_ds = (
+        docs.map_batches(participant_shingles, batch_format="pandas", batch_size=1024)
+        # clean pyarrow projection: strips pandas schema metadata that
+        # breaks the hash-shuffle join's schema alignment
+        .map_batches(
+            lambda b: _pa.table(
+                {"doc_id": b["doc_id"], "sh": b["sh"].cast(_pa.binary())}
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
     )
+    amap = sh_ds.map_batches(
+        lambda b: _pa.table({"doc_a": b["doc_id"], "sh_a": b["sh"]}),
+        batch_format="pyarrow",
+    )
+    bmap = sh_ds.map_batches(
+        lambda b: _pa.table({"doc_b": b["doc_id"], "sh_b": b["sh"]}),
+        batch_format="pyarrow",
+    )
+    cand_ds = rd.from_arrow(
+        _pa.table(
+            {
+                "doc_a": _pa.array(cand["doc_a"].astype("int64"), _pa.int64()),
+                "doc_b": _pa.array(cand["doc_b"].astype("int64"), _pa.int64()),
+            }
+        )
+    )
+    nparts = max(8, len(cand) // 500_000)
+    joined = cand_ds.join(amap, "inner", num_partitions=nparts, on=("doc_a",)).join(
+        bmap, "inner", num_partitions=nparts, on=("doc_b",)
+    )
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        ka, kb = [], []
+        for a, b, ba, bb in zip(
+            batch["doc_a"], batch["doc_b"], batch["sh_a"], batch["sh_b"]
+        ):
+            sa = np.frombuffer(ba, dtype=np.int64)
+            sb = np.frombuffer(bb, dtype=np.int64)
+            inter = np.intersect1d(sa, sb).size  # both sorted-unique
+            union = sa.size + sb.size - inter
+            if union and inter / union >= threshold:
+                ka.append(int(a))
+                kb.append(int(b))
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(ka, dtype="int64"),
+                "doc_b": pd.Series(kb, dtype="int64"),
+            }
+        )
+
+    out = joined.map_batches(verify, batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame(_EMPTY_PAIRS)
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 # worker-persistent token→hash memo (corpus vocabulary repeats heavily;
