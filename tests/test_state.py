@@ -198,3 +198,69 @@ def test_truncated_flag_exit_reason(ray_session, small_corpus_dir, tmp_path):
     if free.rounds > 1:
         cut = run("cut", free.rounds - 1)
         assert cut.metrics["totals"]["truncated"] is True
+
+
+def test_spillable_digest_store_semantics(tmp_path):
+    """Membership stays exact across hot→run spills and run merges."""
+    import hashlib
+
+    from simple_crawler_ray.state.digest_store import SpillableDigestStore
+
+    st = SpillableDigestStore(
+        spill_threshold=10, spill_dir=str(tmp_path / "runs"), max_runs=3
+    )
+    keys = [hashlib.sha1(f"u{i}".encode()).digest() for i in range(100)]
+    for k in keys:
+        st.add_new(k)
+    assert st.spill_count >= 9  # forced spills
+    assert st.num_runs <= 3  # merges compacted the run set
+    assert st.hot_size < 10  # RAM bound held
+    assert len(st) == 100
+    assert all(st.contains_batch(keys))
+    fresh = [hashlib.sha1(f"v{i}".encode()).digest() for i in range(50)]
+    assert not any(st.contains_batch(fresh))
+    # snapshot payload = full digest set; load() round-trips it
+    snap = st.all_digests()
+    assert snap == set(keys)
+    st2 = SpillableDigestStore(spill_threshold=10, spill_dir=str(tmp_path / "r2"))
+    st2.load(snap)
+    assert len(st2) == 100 and all(st2.contains_batch(keys))
+
+
+def test_seen_shard_spill_admission(ray_session, tmp_path):
+    """SADD semantics survive disk spills — including the mid-batch-spill
+    hazard where a hot key moves into a run after the run probe ran — and
+    snapshot/restore round-trips through the spillable store."""
+    import ray
+
+    from simple_crawler_ray.state.seen import SeenShard, url_key
+
+    shard = SeenShard.remote(num_bits=1 << 14, spill_threshold=5)
+    first = [f"https://a.example/p{i}" for i in range(4)]
+    assert ray.get(shard.admit.remote(first)) == [True] * 4
+    # batch: 3 new keys (spill fires at 5 hot: mid-batch), then a repeat
+    # of an old hot key, then an intra-batch dup of a new key
+    batch = [
+        "https://a.example/q0",
+        "https://a.example/q1",
+        "https://a.example/q2",
+        first[0],
+        "https://a.example/q0",
+    ]
+    assert ray.get(shard.admit.remote(batch)) == [True, True, True, False, False]
+    stats = ray.get(shard.spill_stats.remote())
+    assert stats["spills"] >= 1 and stats["total"] == 7
+    assert ray.get(shard.contains.remote(first + ["https://a.example/qX"])) == [
+        True,
+        True,
+        True,
+        True,
+        False,
+    ]
+    # snapshot → restore into a fresh shard: membership identical
+    snap = ray.get(shard.snapshot.remote())
+    shard2 = SeenShard.remote(num_bits=1 << 14, spill_threshold=5)
+    assert ray.get(shard2.restore.remote(snap)) == 7
+    assert ray.get(shard2.admit.remote(batch)) == [False] * 5
+    ray.kill(shard)
+    ray.kill(shard2)
