@@ -44,7 +44,7 @@ import ray.data as rd
 
 from ..functions.robots import RulesIndex
 from ..functions.sitemaps import SitemapResult
-from ..functions.urlkit import host_of, url_sha1
+from ..functions.urlkit import host_of, url_sha1_batch
 from ..schemas import CrawlStatus
 from ..sources.pages import (
     bucket_files_for,
@@ -723,7 +723,7 @@ def crawl(cfg: CrawlConfig, seen_set: ShardedSeenSet | None = None) -> CrawlResu
             {
                 "url": pa.array(replay.seen_order, pa.string()),
                 "url_sha1": pa.array(
-                    [url_sha1(u) for u in replay.seen_order], pa.binary()
+                    url_sha1_batch(replay.seen_order), pa.binary()
                 ),
             }
         )

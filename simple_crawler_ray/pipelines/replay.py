@@ -50,7 +50,7 @@ def replay_exhaustive(
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from ..functions.urlkit import url_sha1
+    from ..functions.urlkit import url_sha1_batch
 
     page_urls = pages["url"].combine_chunks()
     link_lists = pages["linked_urls"].combine_chunks()
@@ -141,9 +141,7 @@ def replay_exhaustive(
     seen_t = pa.table(
         {
             "url": seen_urls,
-            "url_sha1": pa.array(
-                [url_sha1(u) for u in seen_urls.to_pylist()], pa.binary()
-            ),
+            "url_sha1": pa.array(url_sha1_batch(seen_urls), pa.binary()),
         }
     )
     return order_t, seen_t

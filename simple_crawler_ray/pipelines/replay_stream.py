@@ -445,7 +445,7 @@ def _ids_to_tables(
     + one left-outer for parent urls); the driver only re-materializes the
     final order/seen tables — the same O(visited) tables the crawl API
     already returns."""
-    from ..functions.urlkit import url_sha1
+    from ..functions.urlkit import url_sha1_batch
 
     empty_seen = pa.schema(
         [("url", pa.string()), ("url_sha1", pa.binary())]
@@ -523,9 +523,7 @@ def _ids_to_tables(
     )
 
     def add_sha(batch: pa.Table) -> pa.Table:
-        shas = pa.array(
-            [url_sha1(u) for u in batch["url"].to_pylist()], pa.binary()
-        )
+        shas = pa.array(url_sha1_batch(batch["url"]), pa.binary())
         return batch.append_column("url_sha1", shas)
 
     sj = (

@@ -46,3 +46,29 @@ def test_shard_is_host_affine():
 def test_absolutize_matches_urljoin():
     assert absolutize("https://e.com/a/b", "/c") == "https://e.com/c"
     assert absolutize("https://e.com/a/", "c") == "https://e.com/a/c"
+
+
+def test_url_sha1_batch_matches_scalar():
+    """The regex fast lane must agree with per-URL canonicalize+sha1 on
+    every shape that exercises a lane boundary."""
+    import pyarrow as pa
+
+    from simple_crawler_ray.functions.urlkit import url_sha1, url_sha1_batch
+
+    urls = [
+        "https://host0.example/p1",          # fast lane
+        "http://host.example/a b?q=1&x=2",   # space + query, fast lane
+        "https://HOST.example/p",            # uppercase host -> slow
+        "HTTPS://host.example/p",            # uppercase scheme -> slow
+        "https://host.example",              # empty path -> slow ("/" added)
+        "http://host.example:80/p",          # default port stripped -> slow
+        "https://host.example:443/p",        # default port stripped -> slow
+        "https://host.example:8080/p",       # nonstandard port -> slow (kept)
+        "https://host.example/p#frag",       # fragment dropped -> slow
+        "https://host.example/p;x=1",        # params dropped -> slow
+        "https://user@host.example/p",       # userinfo -> slow
+        "https://host.example/P/Q.HTML",     # uppercase path stays, fast
+    ]
+    assert url_sha1_batch(urls) == [url_sha1(u) for u in urls]
+    assert url_sha1_batch(pa.array(urls)) == [url_sha1(u) for u in urls]
+    assert url_sha1_batch([]) == []
