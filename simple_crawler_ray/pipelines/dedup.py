@@ -139,6 +139,11 @@ def d1_exact_dedup(sf_dir: str):
 _EMPTY_PAIRS = {"doc_a": pd.Series([], dtype="int64"),
                 "doc_b": pd.Series([], dtype="int64")}
 
+# Above this candidate-pair count the exact-Jaccard verify switches from
+# the broadcast fast path to the two-hash-join shuffle (dup-heavy corpora
+# where neither pairs nor participants fit a broadcast).
+_D2_JOIN_MIN_PAIRS = 10_000
+
 
 def d2_minhash_lsh(sf_dir: str, threshold: float = 0.5):
     """MinHash+LSH near-duplicate pairs, fully distributed:
@@ -241,8 +246,51 @@ def d2_minhash_lsh(sf_dir: str, threshold: float = 0.5):
             ),
             batch_format="pyarrow",
         )
-        .materialize()
     )
+
+    def verify_rows(doc_a, doc_b, sh_a, sh_b):
+        ka, kb = [], []
+        for a, b, ba, bb in zip(doc_a, doc_b, sh_a, sh_b):
+            sa = np.frombuffer(ba, dtype=np.int64)
+            sb = np.frombuffer(bb, dtype=np.int64)
+            inter = np.intersect1d(sa, sb).size  # both sorted-unique
+            union = sa.size + sb.size - inter
+            if union and inter / union >= threshold:
+                ka.append(int(a))
+                kb.append(int(b))
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(ka, dtype="int64"),
+                "doc_b": pd.Series(kb, dtype="int64"),
+            }
+        )
+
+    if len(cand) <= _D2_JOIN_MIN_PAIRS:
+        # small candidate set (the common non-dup-heavy case): broadcast
+        # the participant shingle table once (bounded by 2x pairs rows)
+        # and verify in one map_batches over the pairs — skips the two
+        # shuffle joins' executor+actor-pool spin-up (~2 s fixed). The
+        # driver transits only the bounded participant table, never a
+        # per-pair loop.
+        sh_ref = _ray.put(_pa.concat_tables(_ray.get(sh_ds.to_arrow_refs())))
+
+        def verify_broadcast(batch: pd.DataFrame, sh=sh_ref) -> pd.DataFrame:
+            t = _ray.get(sh) if isinstance(sh, _ray.ObjectRef) else sh
+            m = dict(zip(t["doc_id"].to_pylist(), t["sh"].to_pylist()))
+            return verify_rows(
+                batch["doc_a"],
+                batch["doc_b"],
+                [m[int(a)] for a in batch["doc_a"]],
+                [m[int(b)] for b in batch["doc_b"]],
+            )
+
+        cand_ds = rd.from_pandas(cand[["doc_a", "doc_b"]].astype("int64"))
+        out = cand_ds.map_batches(verify_broadcast, batch_format="pandas").to_pandas()
+        if out.empty:
+            return pd.DataFrame(_EMPTY_PAIRS)
+        return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+    sh_ds = sh_ds.materialize()
     amap = sh_ds.map_batches(
         lambda b: _pa.table({"doc_a": b["doc_id"], "sh_a": b["sh"]}),
         batch_format="pyarrow",
@@ -265,22 +313,8 @@ def d2_minhash_lsh(sf_dir: str, threshold: float = 0.5):
     )
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        ka, kb = [], []
-        for a, b, ba, bb in zip(
+        return verify_rows(
             batch["doc_a"], batch["doc_b"], batch["sh_a"], batch["sh_b"]
-        ):
-            sa = np.frombuffer(ba, dtype=np.int64)
-            sb = np.frombuffer(bb, dtype=np.int64)
-            inter = np.intersect1d(sa, sb).size  # both sorted-unique
-            union = sa.size + sb.size - inter
-            if union and inter / union >= threshold:
-                ka.append(int(a))
-                kb.append(int(b))
-        return pd.DataFrame(
-            {
-                "doc_a": pd.Series(ka, dtype="int64"),
-                "doc_b": pd.Series(kb, dtype="int64"),
-            }
         )
 
     out = joined.map_batches(verify, batch_format="pandas").to_pandas()

@@ -106,3 +106,16 @@ def test_entry_smoke(ray_session):
         "req_status",
         "crawl_status",
     ]
+
+
+def test_d2_join_and_broadcast_verify_agree(ray_session, monkeypatch):
+    """The verify's two execution strategies (broadcast fast path vs
+    two-hash-join shuffle) must return identical pairs."""
+    from simple_crawler_ray.pipelines import dedup
+
+    sf = "/root/testdata/sf0.01"
+    broadcast = dedup.d2_minhash_lsh(sf)
+    monkeypatch.setattr(dedup, "_D2_JOIN_MIN_PAIRS", -1)
+    joined = dedup.d2_minhash_lsh(sf)
+    assert broadcast.values.tolist() == joined.values.tolist()
+    assert len(broadcast) > 0
