@@ -119,3 +119,65 @@ def test_d2_join_and_broadcast_verify_agree(ray_session, monkeypatch):
     joined = dedup.d2_minhash_lsh(sf)
     assert broadcast.values.tolist() == joined.values.tolist()
     assert len(broadcast) > 0
+
+
+# ---- golden fixtures (round-2 VERDICT item #9) --------------------------
+# Exact expected outputs for the rows-only simhash ops on a tiny fixed
+# corpus, precomputed from the implementation at round 3 and frozen: any
+# refactor that silently changes signature math or banding now fails
+# loudly instead of slipping through the no-oracle blind spot.
+
+_GOLDEN_DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the river shore"),
+    (2, "machine learning models require large amounts of training data to generalize"),
+    (3, "machine learning models require huge amounts of training data to generalize"),
+    (4, "completely unrelated text about cooking pasta with garlic and olive oil"),
+    (5, "the weather today is sunny with a gentle breeze from the north"),
+]
+
+_GOLDEN_D3 = {
+    0: "b8de46c2ef617466",
+    1: "b8dc4782ef237636",
+    2: "5a36d8ae25e8b0f6",
+    3: "7a36daae25e8b2f6",
+    4: "07c794838f933b3c",
+    5: "af9ef42fb901a704",
+}
+
+# (doc_a, doc_b, hamming); 1000002 is d3b's own injected perturbation of
+# doc 2 (the recovery self-check built into the op)
+_GOLDEN_D3B = [(2, 3, 3), (2, 1000002, 2)]
+
+
+@pytest.fixture(scope="module")
+def golden_corpus_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("golden_docs")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([i for i, _ in _GOLDEN_DOCS], pa.int64()),
+                "text": pa.array([t for _, t in _GOLDEN_DOCS], pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+def test_d3_simhash_golden(ray_session, golden_corpus_dir):
+    out = to_pandas(entrymod.queries()["d3_simhash"](golden_corpus_dir))
+    got = dict(zip(out["doc_id"].astype(int), out["simhash"]))
+    assert got == _GOLDEN_D3
+
+
+def test_d3b_neardup_golden(ray_session, golden_corpus_dir):
+    out = to_pandas(entrymod.queries()["d3b_simhash_neardup"](golden_corpus_dir))
+    got = sorted(
+        (int(a), int(b), int(h))
+        for a, b, h in zip(out["doc_a"], out["doc_b"], out["hamming"])
+    )
+    assert got == _GOLDEN_D3B
