@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- similarity search --------------------------------------------
         "s1_knn_bruteforce": sim.s1_knn_bruteforce,
         "s2_ann_lsh": sim.s2_ann_lsh,
+        "s3_ann_ivf": sim.s3_ann_ivf,
         # -- stream-shaped + multimodal plumbing --------------------------
         "e1_sessionize": ev.e1_sessionize,
         "e2_topk_users": ev.e2_topk_users,

@@ -5,10 +5,16 @@
   corpus streams through ``map_batches`` while the small query set rides
   along via ``ray.put``). DuckDB-oracle-checked (rank-exact, float64 math
   on both sides).
-- ``s2_ann_lsh``: the scale path — multi-probe random-hyperplane LSH;
+- ``s2_ann_lsh``: scale path #1 — multi-probe random-hyperplane LSH;
   the corpus streams through ``map_batches`` and each batch scores only
   rows whose bucket falls in a query's probe set (approximate; rows-only
   check + recall@10 ≥ 0.9 floor test).
+- ``s3_ann_ivf``: scale path #2 — IVF (inverted-file) with a k-means
+  coarse quantizer: centroids trained on a bounded deterministic sample,
+  broadcast once; each corpus batch assigns its rows to their nearest
+  centroid and scores only rows landing in a probed list (same floor
+  test). The data-driven quantizer adapts to clustered real embeddings
+  where fixed hyperplanes waste probes.
 """
 
 from __future__ import annotations
@@ -19,7 +25,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-__all__ = ["s1_knn_bruteforce", "s2_ann_lsh"]
+__all__ = ["s1_knn_bruteforce", "s2_ann_lsh", "s3_ann_ivf"]
 
 _N_QUERIES = 5
 _K = 10
@@ -174,6 +180,139 @@ def s2_ann_lsh(sf_dir: str, n_planes: int | None = None, probe_radius: int = 3):
         rows = []
         for qidx, qid in enumerate(qi_):
             cand = ok[qidx][codes] & (ids != qid)
+            if not cand.any():
+                continue
+            c_ids = ids[cand]
+            c_sims = sims[qidx][cand]
+            top = np.argsort(-c_sims)[:_K]
+            rows.extend(
+                (int(qid), int(c_ids[j]), float(c_sims[j])) for j in top
+            )
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "sim"])
+
+    partials = corpus.map_batches(
+        partial_topk, batch_format="pandas", batch_size=4096
+    ).to_pandas()
+    if partials.empty:
+        return pd.DataFrame(
+            {"query_id": pd.Series([], dtype="int64"),
+             "neighbor_id": pd.Series([], dtype="int64")}
+        )
+    merged = (
+        partials.sort_values(
+            ["query_id", "sim", "neighbor_id"], ascending=[True, False, True]
+        )
+        .groupby("query_id", as_index=False)
+        .head(_K)
+    )
+    return (
+        merged[["query_id", "neighbor_id"]]
+        .astype("int64")
+        .sort_values(["query_id", "neighbor_id"])
+        .reset_index(drop=True)
+    )
+
+
+_IVF_SAMPLE_CAP = 8192
+_IVF_LLOYD_ITERS = 10
+
+
+def s3_ann_ivf(
+    sf_dir: str, n_lists: int | None = None, n_probe: int | None = None
+):
+    """Approximate NN via IVF (inverted-file index, k-means coarse
+    quantizer) — the second ANN scale path next to ``s2_ann_lsh``:
+
+    - **train** (driver, bounded): Lloyd k-means on a deterministic
+      ≤8192-vector sample (``limit()`` — no full-corpus materialization),
+      seeded init, cosine geometry (normalized vectors). Centroids are a
+      tiny (n_lists × dim) float64 matrix — broadcast via ``ray.put``.
+    - **probe**: each query takes its ``n_probe`` nearest centroids.
+    - **search** (streamed): the corpus flows through ``map_batches``;
+      each batch computes one matmul against the centroid matrix to
+      assign rows to lists, masks rows to those in ANY probed list
+      (vectorized), one matmul against the query matrix for survivors,
+      and emits per-batch top-k partials; tiny driver merge.
+
+    At 10^9+ vectors the assignment is instead MATERIALIZED once as a
+    list-partitioned Parquet layout (``write_parquet(partition_cols=
+    ["list_id"])``, consolidated per list) and a query reads ONLY its
+    probed lists' files — pruning at the read, the same discipline as
+    the crawl's bucketed corpus (sources/pages.py). The streamed variant
+    here shares all the math and needs no index build step.
+
+    Approximate by construction → rows-only check; recall@10 ≥ 0.9 floor
+    vs ``s1_knn_bruteforce`` asserted in tests/test_queries.py.
+    Output (query_id, neighbor_id), ≤ k per query, sorted.
+    """
+    path = f"{sf_dir}/embeddings.parquet"
+    corpus = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    n = corpus.count()
+    if n_lists is None:
+        # sqrt(n) lists is the standard IVF sizing; floor keeps the toy
+        # corpora from degenerating to 1-2 lists
+        n_lists = max(4, int(np.sqrt(n)))
+    if n_probe is None:
+        # synthetic near-isotropic embeddings are the adversarial case
+        # (little cluster structure to exploit): at sf0.01 probing 1/3 of
+        # the lists measures recall@10 ≈ 0.86, 1/2 ≈ 0.92, 0.6 ≈ 0.96 —
+        # the default probes 0.6·L to clear the 0.9 floor with margin.
+        # Clustered real embeddings reach the same recall probing ~5-10%,
+        # which is where IVF's scan pruning actually pays.
+        n_probe = max(1, int(0.6 * n_lists))
+
+    sample = (
+        corpus.limit(min(_IVF_SAMPLE_CAP, n)).to_pandas()
+    )
+    s_mat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    s_mat = s_mat / np.linalg.norm(s_mat, axis=1, keepdims=True)
+    rng = np.random.RandomState(29)
+    centroids = s_mat[rng.choice(len(s_mat), size=n_lists, replace=False)]
+    for _ in range(_IVF_LLOYD_ITERS):
+        assign = np.argmax(s_mat @ centroids.T, axis=1)
+        for c in range(n_lists):
+            members = s_mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    queries = (
+        rd.read_parquet(path, columns=["vec_id", "embedding"])
+        .map_batches(
+            lambda t: t.filter(pc.less(t["vec_id"], _N_QUERIES)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    q_ids = queries["vec_id"].to_numpy().astype(np.int64)
+    q_mat = np.stack(queries["embedding"].to_numpy()).astype(np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    # probe table: (nq, n_lists) bool — list l probed by query q
+    q_cent = q_norm @ centroids.T
+    probe = np.zeros((len(q_ids), n_lists), dtype=bool)
+    for qi in range(len(q_ids)):
+        probe[qi, np.argsort(-q_cent[qi])[:n_probe]] = True
+    bc = ray.put((q_ids, q_norm, centroids, probe))
+
+    def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        qi_, qn, cents, ok = ray.get(bc)
+        m = _emb_matrix(batch)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        lists = np.argmax(m @ cents.T, axis=1)
+        any_probe = ok.any(axis=0)[lists]
+        if not any_probe.any():
+            return pd.DataFrame(
+                {"query_id": pd.Series([], dtype="int64"),
+                 "neighbor_id": pd.Series([], dtype="int64"),
+                 "sim": pd.Series([], dtype="float64")}
+            )
+        m = m[any_probe]
+        ids = batch["vec_id"].to_numpy()[any_probe]
+        lists = lists[any_probe]
+        sims = qn @ m.T  # (nq, n_candidates)
+        rows = []
+        for qidx, qid in enumerate(qi_):
+            cand = ok[qidx][lists] & (ids != qid)
             if not cand.any():
                 continue
             c_ids = ids[cand]

@@ -34,6 +34,7 @@ def test_query_and_oracle_keys_consistent():
         "d3_simhash",
         "d3b_simhash_neardup",
         "s2_ann_lsh",
+        "s3_ann_ivf",
     }
 
 
@@ -181,3 +182,21 @@ def test_d3b_neardup_golden(ray_session, golden_corpus_dir):
         for a, b, h in zip(out["doc_a"], out["doc_b"], out["hamming"])
     )
     assert got == _GOLDEN_D3B
+
+
+def test_s3_ann_ivf_recall_floor(ray_session):
+    """IVF (k-means quantizer) must reach recall@10 >= 0.9 against the
+    exact brute-force top-k on the same table."""
+    from simple_crawler_ray.pipelines.similarity import (
+        s1_knn_bruteforce,
+        s3_ann_ivf,
+    )
+
+    exact = s1_knn_bruteforce(SF_DIR)
+    ann = s3_ann_ivf(SF_DIR)
+    recalls = []
+    for qid, grp in exact.groupby("query_id"):
+        truth = set(grp["neighbor_id"])
+        got = set(ann[ann["query_id"] == qid]["neighbor_id"])
+        recalls.append(len(truth & got) / len(truth))
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
