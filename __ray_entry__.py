@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- stream-shaped + multimodal plumbing --------------------------
         "e1_sessionize": ev.e1_sessionize,
         "e2_topk_users": ev.e2_topk_users,
+        "e3_sliding_window": ev.e3_sliding_window,
         "m1_binary_features": mm.m1_binary_features,
         "m2_frame_sample": mm.m2_frame_sample,
     }
@@ -136,6 +137,15 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value
             FROM events
             GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "e3_sliding_window": """
+            SELECT event_type,
+                   CAST(epoch(date_trunc('hour', ts)) AS BIGINT) - 3600 * k.k
+                       AS window_epoch,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events CROSS JOIN (VALUES (0), (1), (2)) AS k(k)
+            GROUP BY 1, 2
         """,
         "q9_union_counts": """
             SELECT event_type, count(*) AS n
