@@ -233,7 +233,9 @@ def run_bench(sf_dir: str, num_cpus: int, crawl_only: bool = False) -> dict:
             "d5_embedding_cosine_pairs",
             "s1_knn_bruteforce",
             "s2_ann_lsh",
+            "s3_ann_ivf",
             "e1_sessionize",
+            "e3_sliding_window",
             "m1_binary_features",
         ):
             t0 = time.perf_counter()
