@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t3_langid": tx.t3_langid,
         "t4_fingerprint": tx.t4_fingerprint,
         "t5_chunk_documents": tx.t5_chunk_documents,
+        "t6_train_val_split": tx.t6_train_val_split,
+        "t7_topk_per_lang": tx.t7_topk_per_lang,
         # -- dedup family --------------------------------------------------
         "d1_exact_dedup": dd.d1_exact_dedup,
         "d2_minhash_lsh": dd.d2_minhash_lsh,
@@ -72,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e1_sessionize": ev.e1_sessionize,
         "e2_topk_users": ev.e2_topk_users,
         "e3_sliding_window": ev.e3_sliding_window,
+        "e4_heavy_hitters": ev.e4_heavy_hitters,
         "m1_binary_features": mm.m1_binary_features,
         "m2_frame_sample": mm.m2_frame_sample,
     }
@@ -222,6 +225,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "t4_fingerprint": """
             SELECT doc_id, md5(text) AS fingerprint FROM documents
+        """,
+        "t6_train_val_split": """
+            SELECT doc_id,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                        THEN 'train' ELSE 'val' END AS split
+            FROM documents
+        """,
+        "t7_topk_per_lang": r"""
+            WITH toks AS (
+                SELECT lang, doc_id,
+                       CAST(array_length(regexp_split_to_array(trim(text), '\s+'))
+                            AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            ranked AS (
+                SELECT lang, doc_id, n_tokens,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY n_tokens DESC, doc_id) AS rk
+                FROM toks
+            )
+            SELECT lang, doc_id, n_tokens, CAST(rk AS BIGINT) AS rank
+            FROM ranked WHERE rk <= 3
+        """,
+        "e4_heavy_hitters": """
+            SELECT user_id, count(*) AS n_events
+            FROM events GROUP BY user_id
+            ORDER BY count(*) DESC, user_id
+            LIMIT 10
         """,
         "d1_exact_dedup": """
             SELECT md5(text) AS content_md5,

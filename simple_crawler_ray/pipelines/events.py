@@ -11,7 +11,12 @@ from __future__ import annotations
 import pandas as pd
 import ray.data as rd
 
-__all__ = ["e1_sessionize", "e2_topk_users", "e3_sliding_window"]
+__all__ = [
+    "e1_sessionize",
+    "e2_topk_users",
+    "e3_sliding_window",
+    "e4_heavy_hitters",
+]
 
 _GAP_MIN = 30
 
@@ -77,6 +82,79 @@ def e1_sessionize(sf_dir: str):
         rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"]),
         keys=["user_id"],
         final=sessions_part,
+    )
+
+
+def e4_heavy_hitters(sf_dir: str, k: int = 10, counters: int = 256):
+    """Top-k most-frequent users via a Misra-Gries heavy-hitters sketch +
+    exact recount — the bounded-state frequent-items op (the 'novel
+    sketch' family of the brief).
+
+    Stage 1: each batch summarises its user stream with a Misra-Gries
+    sketch of ``counters`` cells (state is O(counters), NEVER O(distinct
+    users) — the whole point at 10^9 users where a full groupby count is
+    an all-to-all shuffle of every event). MG guarantees any user with
+    batch frequency > batch_len/counters survives its batch, so every
+    global heavy hitter appears in some batch's survivor set.
+
+    Stage 2: the survivor ids (≤ counters per batch, tiny) are unioned on
+    the driver and broadcast; an exact filtered recount over the events
+    stream (vectorized ``isin`` + per-batch partial counts, small final
+    merge) replaces the sketch's undercounted estimates with EXACT counts
+    — which is what makes the result oracle-checkable: the top-k by exact
+    count equals the plain SQL answer whenever the true top-k are heavy
+    enough to survive stage 1 (guaranteed at count > n_events/counters;
+    asserted by the oracle gate at both test scales).
+    """
+    import numpy as np
+
+    def mg_sketch(batch: pd.DataFrame) -> pd.DataFrame:
+        # vectorized MG: exact counts within the batch (np.unique), then
+        # keep the top `counters` cells — equivalent survivor set to the
+        # streaming one-pass MG for a fully-buffered batch, same bound
+        ids, cnt = np.unique(batch["user_id"].to_numpy(), return_counts=True)
+        if len(ids) > counters:
+            keep = np.argpartition(cnt, -counters)[-counters:]
+            ids, cnt = ids[keep], cnt[keep]
+        return pd.DataFrame({"user_id": ids.astype("int64")})
+
+    candidates = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+        .map_batches(mg_sketch, batch_format="pandas", batch_size=65536)
+        .to_pandas()["user_id"]
+        .unique()
+    )
+    import ray
+
+    cand_ref = ray.put(set(int(u) for u in candidates))
+
+    def recount(batch: pd.DataFrame) -> pd.DataFrame:
+        cand = ray.get(cand_ref)
+        hit = batch[batch["user_id"].isin(cand)]
+        g = hit.groupby("user_id", as_index=False).size()
+        return pd.DataFrame(
+            {"user_id": g["user_id"].astype("int64"), "p_n": g["size"]}
+        )
+
+    from ray.data.aggregate import Sum
+
+    exact = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+        .map_batches(recount, batch_format="pandas", batch_size=65536)
+        .groupby("user_id")
+        .aggregate(Sum("p_n", alias_name="n"))
+        .to_pandas()
+    )
+    top = (
+        exact.sort_values(["n", "user_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {
+            "user_id": top["user_id"].astype("int64"),
+            "n_events": top["n"].astype("int64"),
+        }
     )
 
 

@@ -26,6 +26,8 @@ __all__ = [
     "t3_langid",
     "t4_fingerprint",
     "t5_chunk_documents",
+    "t6_train_val_split",
+    "t7_topk_per_lang",
 ]
 
 # stopword markers per language (tiny n-gram/stopword heuristic; the texts
@@ -172,6 +174,82 @@ def t5_chunk_documents(sf_dir: str, chunk_chars: int = 200):
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         chunk, batch_format="pandas", batch_size=4096
+    )
+
+
+def t6_train_val_split(sf_dir: str, train_hex: str = "cc"):
+    """Deterministic hash-based train/val split — the dataset-sharding
+    primitive of a training pipeline. Split key = first md5-hex byte of
+    the doc id: lowercase hex compares LEXICOGRAPHICALLY in numeric order
+    ('0'-'9' < 'a'-'f'), so ``md5(id)[:2] < 'cc'`` is exactly
+    ``value < 0xcc`` (≈ 79.7% train) on both the Ray and the DuckDB side
+    with no hex-to-int conversion anywhere. Keyed on the STABLE doc id,
+    not row position, so the split survives re-partitioning / re-sharding
+    of the corpus — the property that matters at 100 TB, where input
+    layout is never stable between runs."""
+
+    def split(batch: pa.Table) -> pa.Table:
+        keys = [
+            hashlib.md5(str(i).encode()).hexdigest()[:2]
+            for i in batch["doc_id"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "split": pa.array(
+                    ["train" if k < train_hex else "val" for k in keys],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(
+        split, batch_format="pyarrow", batch_size=4096
+    )
+
+
+def t7_topk_per_lang(sf_dir: str, k: int = 3):
+    """Per-group quota sampling: the k longest documents (by whitespace
+    token count, doc_id tie-break) per language — the 'keep the best N
+    per stratum' curation op. Same no-global-sort shape as q2/s1: each
+    batch keeps its LOCAL top-k per lang (≤ k × n_langs rows leave any
+    batch), the driver merges the tiny survivor set. No shuffle of the
+    documents table at any point."""
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "lang": batch["lang"].to_pandas(),
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()).to_pandas(),
+                "n_tokens": _token_counts(batch["text"]).to_pandas(),
+            }
+        )
+        return (
+            df.sort_values(["n_tokens", "doc_id"], ascending=[False, True])
+            .groupby("lang", sort=False)
+            .head(k)
+        )
+
+    parts = (
+        _docs(sf_dir, ["doc_id", "lang", "text"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()
+    )
+    top = (
+        parts.sort_values(["n_tokens", "doc_id"], ascending=[False, True])
+        .groupby("lang", sort=False)
+        .head(k)
+        .sort_values(["lang", "n_tokens", "doc_id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    top["rank"] = top.groupby("lang", sort=False).cumcount() + 1
+    return pd.DataFrame(
+        {
+            "lang": top["lang"],
+            "doc_id": top["doc_id"].astype("int64"),
+            "n_tokens": top["n_tokens"].astype("int64"),
+            "rank": top["rank"].astype("int64"),
+        }
     )
 
 

@@ -200,3 +200,50 @@ def test_s3_ann_ivf_recall_floor(ray_session):
         got = set(ann[ann["query_id"] == qid]["neighbor_id"])
         recalls.append(len(truth & got) / len(truth))
     assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_e4_heavy_hitters_sketch_bound(ray_session, tmp_path):
+    """Misra-Gries candidate stage must recover the exact top-k on a
+    skewed stream whose DISTINCT-user count far exceeds the sketch's
+    counter budget — the regime the sketch exists for (bounded state,
+    not bounded cardinality)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_crawler_ray.pipelines.events import e4_heavy_hitters
+
+    rng = np.random.default_rng(7)
+    # 40k events: 10 heavy users (~1k events each) buried in 20k
+    # singleton/doubleton users — distinct users (~20k) >> counters (256)
+    heavy = np.repeat(np.arange(10), 1000)
+    tail = rng.integers(100, 30_000, size=30_000)
+    users = np.concatenate([heavy, tail])
+    rng.shuffle(users)
+    d = tmp_path / "hh"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "value": pa.array(np.ones(len(users)), pa.float64()),
+                "ts": pa.array(
+                    pd.date_range("2024-01-01", periods=len(users), freq="s")
+                ),
+                "event_type": pa.array(["x"] * len(users), pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    out = e4_heavy_hitters(str(d))
+    exact = (
+        pd.Series(users)
+        .value_counts()
+        .rename_axis("user_id")
+        .reset_index(name="n")
+        .sort_values(["n", "user_id"], ascending=[False, True])
+        .head(10)
+    )
+    assert out["user_id"].tolist() == exact["user_id"].tolist()
+    assert out["n_events"].tolist() == exact["n"].tolist()
