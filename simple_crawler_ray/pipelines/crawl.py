@@ -70,6 +70,17 @@ _META_SCHEMA = pa.schema(
 )
 
 
+@ray.remote
+def _round_file_task(path: str, kwargs: dict) -> pa.Table:
+    """One bucket part file of a crawl round as a plain Ray task — the
+    task-dispatch twin of the ``map_batches(crawl_round_file_batch)``
+    path (see the round loop for when each is used). The broadcast
+    ObjectRefs ride INSIDE ``kwargs`` so Ray does not auto-dereference
+    them and the per-worker broadcast cache in stages/extract.py keeps
+    working identically."""
+    return crawl_round_file_batch(pa.table({"path": [path]}), **kwargs)
+
+
 @dataclass
 class CrawlConfig:
     corpus_dir: str  # directory containing pages.parquet
@@ -91,6 +102,13 @@ class CrawlConfig:
     # instead of a Ray Data execution (a tiny round's ~1-2 s pipeline launch
     # dwarfs its compute; seed/straggler rounds hit this constantly)
     small_round_threshold: int = 512
+    # bucket-file fan-out up to which a round dispatches plain Ray tasks
+    # (one per file) instead of a Ray Data execution: same fused per-file
+    # stage, same broadcasts, no per-round streaming-executor launch
+    # (~0.3-0.5 s, constant in CPU count — the engine-owned Amdahl term of
+    # round-2 VERDICT item #7). Above the threshold the unbounded fan-out
+    # goes through Ray Data for scheduling/backpressure.
+    task_round_max_files: int = 1024
     # fetch retries per url (reference RETRIES=3, main.py:71 /
     # configuration.py:29). A corpus miss is deterministic, so retries only
     # defer the eventual ERROR row by N rounds — outputs are invariant; the
@@ -542,22 +560,47 @@ def crawl(cfg: CrawlConfig, seen_set: ShardedSeenSet | None = None) -> CrawlResu
                 # drives parquet row-group pruning
                 url_set_ref = ray.put(sorted_allowed)
                 depth_ref = ray.put(depth_map)
-                meta_ds = rd.from_items([{"path": p} for p in files]).map_batches(
-                    crawl_round_file_batch,
-                    fn_kwargs={
-                        "url_set_ref": url_set_ref,
-                        "depth_ref": depth_ref,
-                        "out_dir": fetched_out,
-                        "keep_html": cfg.keep_html,
-                        "seen_pool": seen_set,
-                        "emit_links": emit_links,
-                        "push_epoch": push_epoch,
-                        "recent_ref": ray.put(recent_urls),
-                    },
-                    batch_format="pyarrow",
-                    batch_size=1,  # one task per bucket part file
-                )
-                meta_tbl = _to_table(meta_ds, _META_SCHEMA)
+                task_kwargs = {
+                    "url_set_ref": url_set_ref,
+                    "depth_ref": depth_ref,
+                    "out_dir": fetched_out,
+                    "keep_html": cfg.keep_html,
+                    "seen_pool": seen_set,
+                    "emit_links": emit_links,
+                    "push_epoch": push_epoch,
+                    "recent_ref": ray.put(recent_urls),
+                }
+                if len(files) <= cfg.task_round_max_files:
+                    # bounded fan-out → plain Ray tasks, one per bucket
+                    # part file: the identical parallel shape as the
+                    # map_batches path (same fused per-file stage, same
+                    # broadcast refs — nested in a dict so they are NOT
+                    # auto-dereferenced and the per-worker broadcast cache
+                    # still applies) WITHOUT a Ray Data streaming-executor
+                    # launch, which costs a CPU-count-CONSTANT ~0.3-0.5 s
+                    # per round and is the engine's own Amdahl term in the
+                    # scaling story (round-2 VERDICT item #7). Per-round
+                    # metadata is small (url/host[/links]); both paths
+                    # materialize it on the driver, so tasks give up
+                    # nothing — streaming only matters when the file
+                    # fan-out is unbounded, which the threshold guards.
+                    refs = [_round_file_task.remote(p, task_kwargs) for p in files]
+                    parts = [t for t in ray.get(refs) if t.num_rows]
+                    meta_tbl = (
+                        pa.concat_tables(parts).combine_chunks()
+                        if parts
+                        else _META_SCHEMA.empty_table()
+                    )
+                else:
+                    meta_ds = rd.from_items(
+                        [{"path": p} for p in files]
+                    ).map_batches(
+                        crawl_round_file_batch,
+                        fn_kwargs=task_kwargs,
+                        batch_format="pyarrow",
+                        batch_size=1,  # one task per bucket part file
+                    )
+                    meta_tbl = _to_table(meta_ds, _META_SCHEMA)
             n_fetched = meta_tbl.num_rows
             if emit_links:
                 fetched_tbl = meta_tbl.select(["url", "linked_urls"])
