@@ -97,15 +97,33 @@ def d1_exact_dedup(sf_dir: str):
         batch_format="pyarrow",
     )
 
-    def partial_dedup(batch: pd.DataFrame) -> pd.DataFrame:
+    def partial_dedup(batch: pa.Table) -> pa.Table:
         # partial per-batch combine (one row per hash per batch) BEFORE the
         # shuffle, so the groupby moves one row per (hash, batch) instead
-        # of one per document copy (ray_guide §agg)
-        batch["content_md5"] = batch["text"].map(
-            lambda s: hashlib.md5(s.encode("utf-8")).hexdigest()
+        # of one per document copy (ray_guide §agg). md5 has no Arrow
+        # kernel, so the digest loop runs straight off the Arrow string
+        # column (no pandas block conversion — t4 pattern); the combine is
+        # Arrow's C++ group_by.
+        g = pa.table(
+            {
+                "content_md5": pa.array(
+                    [
+                        hashlib.md5(s.encode("utf-8")).hexdigest()
+                        for s in batch["text"].to_pylist()
+                    ],
+                    pa.string(),
+                ),
+                "doc_id": batch["doc_id"],
+            }
+        ).group_by("content_md5").aggregate(
+            [("doc_id", "min"), ("doc_id", "count")]
         )
-        return batch.groupby("content_md5", as_index=False).agg(
-            p_min=("doc_id", "min"), p_n=("doc_id", "size")
+        return pa.table(
+            {
+                "content_md5": g["content_md5"],
+                "p_min": g["doc_id_min"],
+                "p_n": g["doc_id_count"],
+            }
         )
 
     # final first-seen merge as a hash-partitioned Ray shuffle — with
@@ -122,7 +140,7 @@ def d1_exact_dedup(sf_dir: str):
 
     agg = partitioned_group_agg(
         docs.union(dupes).map_batches(
-            partial_dedup, batch_format="pandas", batch_size=4096
+            partial_dedup, batch_format="pyarrow", batch_size=4096
         ),
         ["content_md5"],
         final,
