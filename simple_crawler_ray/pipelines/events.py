@@ -108,7 +108,9 @@ def e4_heavy_hitters(sf_dir: str, k: int = 10, counters: int = 256):
     """
     import numpy as np
 
-    def mg_sketch(batch: pd.DataFrame) -> pd.DataFrame:
+    import pyarrow as pa
+
+    def mg_sketch(batch: pd.DataFrame) -> "pa.Table":
         # vectorized MG: exact counts within the batch (np.unique), then
         # keep the top `counters` cells — equivalent survivor set to the
         # streaming one-pass MG for a fully-buffered batch, same bound
@@ -116,7 +118,7 @@ def e4_heavy_hitters(sf_dir: str, k: int = 10, counters: int = 256):
         if len(ids) > counters:
             keep = np.argpartition(cnt, -counters)[-counters:]
             ids, cnt = ids[keep], cnt[keep]
-        return pd.DataFrame({"user_id": ids.astype("int64")})
+        return pa.table({"user_id": pa.array(ids.astype("int64"), pa.int64())})
 
     candidates = (
         rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
@@ -128,12 +130,15 @@ def e4_heavy_hitters(sf_dir: str, k: int = 10, counters: int = 256):
 
     cand_ref = ray.put(set(int(u) for u in candidates))
 
-    def recount(batch: pd.DataFrame) -> pd.DataFrame:
+    def recount(batch: pd.DataFrame) -> "pa.Table":
         cand = ray.get(cand_ref)
         hit = batch[batch["user_id"].isin(cand)]
         g = hit.groupby("user_id", as_index=False).size()
-        return pd.DataFrame(
-            {"user_id": g["user_id"].astype("int64"), "p_n": g["size"]}
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].astype("int64"), pa.int64()),
+                "p_n": pa.array(g["size"].astype("int64"), pa.int64()),
+            }
         )
 
     from ray.data.aggregate import Sum

@@ -12,7 +12,8 @@ from __future__ import annotations
 
 import hashlib
 
-import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -61,16 +62,18 @@ class BinaryFeatureStage:
     def __init__(self, fake: bool = True):
         self.fake = fake  # stand-in for loading a decode model
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        payloads = [t.encode("utf-8") for t in batch["text"]]
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = [t.encode("utf-8") for t in batch["text"].to_pylist()]
         feats = [decode_payload(p, fake=self.fake) for p in payloads]
-        return pd.DataFrame(
+        # plain Arrow out (no pandas round-trip): pandas-origin schema
+        # metadata makes Ray's block-schema dedup warn on every batch
+        return pa.table(
             {
-                "doc_id": batch["doc_id"].astype("int64"),
-                "n_bytes": pd.Series([f["n_bytes"] for f in feats], dtype="int64"),
-                "content_md5": [
-                    hashlib.md5(p).hexdigest() for p in payloads
-                ],
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "n_bytes": pa.array([f["n_bytes"] for f in feats], pa.int64()),
+                "content_md5": pa.array(
+                    [hashlib.md5(p).hexdigest() for p in payloads], pa.string()
+                ),
             }
         )
 
@@ -100,9 +103,11 @@ class FrameSampleStage:
         # real binary-payload use leaves it False.
         self.assert_ascii = assert_ascii
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch: pa.Table) -> pa.Table:
         ids, idxs, digests = [], [], []
-        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
             if self.assert_ascii and not text.isascii():
                 raise ValueError(
                     f"doc {doc_id}: non-ASCII text under assert_ascii — the "
@@ -115,11 +120,11 @@ class FrameSampleStage:
                 ids.append(int(doc_id))
                 idxs.append(fi)
                 digests.append(hashlib.md5(frame).hexdigest())
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_id": pd.Series(ids, dtype="int64"),
-                "frame_idx": pd.Series(idxs, dtype="int64"),
-                "frame_md5": digests,
+                "doc_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(idxs, pa.int64()),
+                "frame_md5": pa.array(digests, pa.string()),
             }
         )
 
@@ -140,7 +145,7 @@ def m2_frame_sample(sf_dir: str):
             "sample_every": 4,
             "assert_ascii": True,
         },
-        batch_format="pandas",
+        batch_format="pyarrow",
         batch_size=1024,
         concurrency=_pool_size(),
     )
@@ -155,7 +160,7 @@ def m1_binary_features(sf_dir: str):
     ).map_batches(
         BinaryFeatureStage,
         fn_constructor_kwargs={"fake": True},
-        batch_format="pandas",
+        batch_format="pyarrow",
         batch_size=1024,
         concurrency=_pool_size(),
     )
