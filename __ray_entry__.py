@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d3b_simhash_neardup": dd.d3b_simhash_neardup,
         "d4_ngram_jaccard_pairs": dd.d4_ngram_jaccard_pairs,
         "d5_embedding_cosine_pairs": dd.d5_embedding_cosine_pairs,
+        "d5b_embedding_lsh_pairs": dd.d5b_embedding_lsh_pairs,
         # -- similarity search --------------------------------------------
         "s1_knn_bruteforce": sim.s1_knn_bruteforce,
         "s2_ann_lsh": sim.s2_ann_lsh,

@@ -33,6 +33,7 @@ def test_query_and_oracle_keys_consistent():
         "d2_minhash_lsh",
         "d3_simhash",
         "d3b_simhash_neardup",
+        "d5b_embedding_lsh_pairs",
         "s2_ann_lsh",
         "s3_ann_ivf",
     }
@@ -247,3 +248,17 @@ def test_e4_heavy_hitters_sketch_bound(ray_session, tmp_path):
     )
     assert out["user_id"].tolist() == exact["user_id"].tolist()
     assert out["n_events"].tolist() == exact["n"].tolist()
+
+
+def test_d5b_recovers_injected_neardups(ray_session):
+    """The LSH-bucketed embedding near-dup path must recover the injected
+    perturbed copies (cosine ≈ 0.98 to their sources) and emit no pair
+    below its exact-cosine threshold."""
+    from simple_crawler_ray.pipelines.dedup import _D5B_INJECT, d5b_embedding_lsh_pairs
+
+    out = d5b_embedding_lsh_pairs(SF_DIR)
+    assert (out["cosine"] >= 0.85).all()
+    got = set(zip(out["vec_id_a"], out["vec_id_b"]))
+    expected = {(i, 1_000_000 + i) for i in range(_D5B_INJECT)}
+    recovered = len(expected & got) / len(expected)
+    assert recovered >= 0.9, (recovered, sorted(got)[:10])
