@@ -21,6 +21,7 @@ __all__ = [
     "url_sha1",
     "url_sha1_batch",
     "shard_of",
+    "shard_of_batch",
     "absolutize",
 ]
 
@@ -113,6 +114,64 @@ def shard_of(url: str, num_shards: int, salt: dict[str, int] | None = None) -> i
             hu = hashlib.sha1(url.encode("utf-8")).digest()
             base += int.from_bytes(hu[:4], "big") % k
     return base % num_shards
+
+
+# worker-persistent host → shard-base memo (hosts repeat massively in any
+# crawl stream; values are pure functions of the host so staleness cannot
+# exist; bounded by the clear-at-cap safety valve)
+_HOST_BASE_CACHE: dict[str, int] = {}
+_HOST_BASE_CAP = 1_000_000
+
+
+def _fast_host_of(url: str) -> str:
+    """host_of fast lane: substring parse for plain http(s)://host/...
+    URLs (no userinfo/query/fragment oddities in the authority), exact
+    urlparse fallback otherwise. Must return EXACTLY host_of's value —
+    shard routing everywhere keys off it (asserted by property test)."""
+    if url.startswith("https://"):
+        rest = url[8:]
+    elif url.startswith("http://"):
+        rest = url[7:]
+    else:
+        return host_of(url)
+    end = len(rest)
+    for stop in ("/", "?", "#"):
+        i = rest.find(stop)
+        if 0 <= i < end:
+            end = i
+    host = rest[:end]
+    if "@" in host:
+        return host_of(url)
+    return host.lower()
+
+
+def shard_of_batch(
+    urls, num_shards: int, salt: dict[str, int] | None = None
+) -> list[int]:
+    """Vectorized ``shard_of`` over a sequence of URLs: fast host parse +
+    memoized per-host base digest (one sha1 per DISTINCT host instead of
+    one urlparse + sha1 per URL — the driver-side admit path and the
+    candidate explode were spending ~7 µs/url here, 3.4 s of a 500k-url
+    admission stream). Identical output to per-url ``shard_of``."""
+    cache = _HOST_BASE_CACHE
+    out: list[int] = []
+    _sha1 = hashlib.sha1
+    for u in urls:
+        host = _fast_host_of(u)
+        base = cache.get(host)
+        if base is None:
+            if len(cache) >= _HOST_BASE_CAP:
+                cache.clear()
+            base = int.from_bytes(_sha1(host.encode("utf-8")).digest()[:4], "big")
+            cache[host] = base
+        if salt:
+            k = salt.get(host, 1)
+            if k > 1:
+                base = base + (
+                    int.from_bytes(_sha1(u.encode("utf-8")).digest()[:4], "big") % k
+                )
+        out.append(base % num_shards)
+    return out
 
 
 def absolutize(base_url: str, href: str) -> str:

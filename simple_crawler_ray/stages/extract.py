@@ -332,7 +332,7 @@ def candidate_batch(
     (seq, depth, parent) attribution is recomputed deterministically by
     the ordering replay — candidates only gate *expansion*.
     """
-    from ..functions.urlkit import shard_of
+    from ..functions.urlkit import shard_of_batch
     from ..state.seen import url_key
 
     if _PUSH_FILTER["epoch"] != push_epoch or len(_PUSH_FILTER["keys"]) > _PUSH_FILTER_CAP:
@@ -380,7 +380,7 @@ def candidate_batch(
             "depth": pa.array(depths, pa.int32()),
             "parent_url": pa.array(out_parents, pa.string()),
             "shard": pa.array(
-                [shard_of(u, num_shards, salt) for u in links], pa.int32()
+                shard_of_batch(links, num_shards, salt), pa.int32()
             ),
             "key": pa.array(keys, pa.binary()),
         }

@@ -35,7 +35,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-from ..functions.urlkit import shard_of
+from ..functions.urlkit import shard_of_batch
 from .bloom import BloomFilter
 from .digest_store import SpillableDigestStore
 
@@ -233,8 +233,8 @@ class ShardedSeenSet:
 
     def _group(self, urls: list[str]) -> dict[int, list[int]]:
         groups: dict[int, list[int]] = defaultdict(list)
-        for i, url in enumerate(urls):
-            groups[shard_of(url, self.num_shards, self.salt)].append(i)
+        for i, s in enumerate(shard_of_batch(urls, self.num_shards, self.salt)):
+            groups[s].append(i)
         return groups
 
     def push_candidates(self, table: pa.Table) -> list["ray.ObjectRef"]:

@@ -72,3 +72,25 @@ def test_url_sha1_batch_matches_scalar():
     assert url_sha1_batch(urls) == [url_sha1(u) for u in urls]
     assert url_sha1_batch(pa.array(urls)) == [url_sha1(u) for u in urls]
     assert url_sha1_batch([]) == []
+
+
+def test_shard_of_batch_matches_scalar():
+    """shard_of_batch (fast host lane + memoized base) must equal the
+    scalar shard_of for every URL shape, salted and unsalted."""
+    from simple_crawler_ray.functions.urlkit import shard_of, shard_of_batch
+
+    urls = [
+        "https://host0.example/p1",
+        "http://host1.example:80/a?q=1#f",
+        "https://HOST2.Example/Path",
+        "https://host3.example",
+        "https://user@host4.example/x",
+        "ftp://host5.example/y",
+        "https://host0.example/p2?a=b",
+        "http://host6.example#frag",
+    ] * 3
+    salt = {"host0.example": 3, "host1.example": 2}
+    for s in (None, salt):
+        batch = shard_of_batch(urls, 8, s)
+        scalar = [shard_of(u, 8, s) for u in urls]
+        assert batch == scalar, (s, batch, scalar)
