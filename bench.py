@@ -189,6 +189,31 @@ def run_bench(sf_dir: str, num_cpus: int, crawl_only: bool = False) -> dict:
     queries["crawl"] = round(crawl_sec, 3)
     pages_per_sec = round(fetched / crawl_sec, 2)
 
+    # ---- crawl with full output materialization ------------------------
+    # round-2 review noted write_outputs=False kept the urls_out path
+    # untimed; it is now a distributed join (no driver-side visited
+    # mirror), so the bench affords it: one timed run with outputs on.
+    if not crawl_only:
+        pool = _make_pool()
+        t0 = time.perf_counter()
+        out_res = crawl(
+            CrawlConfig(
+                corpus_dir=corpus_dir,
+                out_dir=tempfile.mkdtemp(prefix="scr_bencho_", dir=_scratch_dir()),
+                seed_urls=seeds,
+                max_pages=None,
+                keep_html=True,
+                num_buckets=32,
+                num_seen_shards=8,
+                run_id="bench_outputs",
+                write_outputs=True,
+            ),
+            seen_set=pool,
+        )
+        queries["crawl_with_outputs"] = round(time.perf_counter() - t0, 3)
+        pool.shutdown()
+        shutil.rmtree(out_res.out_dir, ignore_errors=True)
+
     # ---- frontier-dedup microbench -------------------------------------
     n_urls = 500_000
     stream = [

@@ -169,6 +169,47 @@ def load_meta_docs(bucket_dir: str) -> dict[str, str]:
     }
 
 
+# process-local bucket-file memo: (mtime_ns, size) → open ParquetFile +
+# decoded per-row-group url [min, max] stats. A crawl touches the same
+# bucket files EVERY round (driver fast path and worker tasks alike), and
+# footer parse + per-row-group stats decode were paid per round per file;
+# values are invalidated by mtime/size so a re-bucketized corpus can
+# never serve stale handles.
+_PF_CACHE: dict = {}
+_PF_CACHE_CAP = 256
+
+
+def _bucket_file(path: str):
+    import pyarrow.parquet as _pq
+
+    st = os.stat(path)
+    key = (st.st_mtime_ns, st.st_size)
+    ent = _PF_CACHE.get(path)
+    if ent is not None and ent[0] == key:
+        return ent[1], ent[2]
+    pf = _pq.ParquetFile(path)
+    md = pf.metadata
+    stats = None
+    if "url" in pf.schema_arrow.names:
+        url_idx = pf.schema_arrow.names.index("url")
+        stats = []
+        for rg in range(md.num_row_groups):
+            s = md.row_group(rg).column(url_idx).statistics
+            if s is None or s.min is None or s.max is None:
+                stats.append(None)
+            else:
+                stats.append(
+                    (
+                        s.min if isinstance(s.min, str) else s.min.decode(),
+                        s.max if isinstance(s.max, str) else s.max.decode(),
+                    )
+                )
+    if len(_PF_CACHE) >= _PF_CACHE_CAP:
+        _PF_CACHE.clear()
+    _PF_CACHE[path] = (key, pf, stats)
+    return pf, stats
+
+
 def read_bucket_rows(
     path: str, sorted_urls: list[str], columns: list[str]
 ) -> pa.Table:
@@ -177,25 +218,19 @@ def read_bucket_rows(
     frontier URL (binary search against the sorted frontier list). Rows
     still need the exact membership filter afterwards — this prunes I/O
     and decode, not semantics. Falls back to a full read when stats are
-    missing."""
+    missing. File handles + stats are memoized per process
+    (``_bucket_file``)."""
     import bisect
 
-    import pyarrow.parquet as _pq
-
-    pf = _pq.ParquetFile(path)
-    md = pf.metadata
-    try:
-        url_idx = pf.schema_arrow.names.index("url")
-    except ValueError:
+    pf, stats = _bucket_file(path)
+    if stats is None:
         return pf.read(columns=columns)
     keep: list[int] = []
-    for rg in range(md.num_row_groups):
-        st = md.row_group(rg).column(url_idx).statistics
-        if st is None or st.min is None or st.max is None:
+    for rg, rg_stats in enumerate(stats):
+        if rg_stats is None:
             keep.append(rg)
             continue
-        lo = st.min if isinstance(st.min, str) else st.min.decode()
-        hi = st.max if isinstance(st.max, str) else st.max.decode()
+        lo, hi = rg_stats
         i = bisect.bisect_left(sorted_urls, lo)
         if i < len(sorted_urls) and sorted_urls[i] <= hi:
             keep.append(rg)
