@@ -28,9 +28,12 @@ fixed-width integers:
    segment file that covers ``pid // seg_span`` through a small LRU cache
    (peak resident adjacency = cache_cap segments of int64 ids, tracked in
    ``SegmentIndex.peak_cache_bytes``). No url string ever enters the walk.
-4. **Distributed translation** — the walked (seq, id, …) arrays are
-   joined back against the id map (plus a left-outer join for parent
-   urls) to produce the final order/seen tables.
+4. **Distributed translation** — ONE broadcast-filter pass over the id
+   map resolves every needed id (visited ∪ seen, already driver-resident
+   ints) to its url + sha1; the final order/seen tables are assembled
+   with vectorized ``index_in`` takes. No ``Dataset.join`` here: Ray's
+   hash-shuffle JoinOperator intermittently drops the key field on
+   empty partition blocks, and a filter pass has no such failure mode.
 
 Semantics are pinned to ``replay_exhaustive`` / the serial oracle by the
 conformance tests: LIFO pop (reference cache.py:86,96), first-seen
@@ -49,6 +52,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
+import ray
 import ray.data as rd
 
 from ..schemas import CrawlStatus
@@ -166,7 +170,14 @@ def build_replay_segments(
         flat = pc.list_flatten(batch["linked_urls"])
         u = batch["url"].combine_chunks()
         flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
-        return pa.table({"url": pa.concat_arrays([u, flat])})
+        # per-batch partial dedup BEFORE the id-assignment shuffle: a url
+        # is re-linked ~in-degree times, so the raw stream is ~40x the
+        # unique set — uniquing per batch cuts the groupby exchange by
+        # that factor (the same partial-combine discipline as every
+        # aggregation in this engine)
+        return pa.table(
+            {"url": pc.unique(pa.concat_arrays([u, flat]))}
+        )
 
     parts = [rd.from_arrow(pa.table({"url": pa.array(seeds, pa.string())}))]
     if pages is not None:
@@ -308,27 +319,36 @@ def build_replay_segments(
         total_link_string_bytes = int(sum(r["link_bytes"] for r in summary))
 
     # ---- 3. small sides: seeds + closed fates as int ids ---------------
-    def _ids_for(urls_list: list[str]) -> dict[str, int]:
-        if not urls_list:
-            return {}
-        want = set(urls_list)
+    # Closed fates are O(dead links + disallowed) — each row already
+    # transited the driver once when its round wrote closed.parquet — so
+    # ONE broadcast-filter pass over the idmap resolves seeds AND closed
+    # urls together (no JoinOperator: see _ids_to_tables for why).
+    fates: dict[str, tuple[int, int]] = {}
+    if closed_ds is not None:
+        for r in closed_ds.take_all():
+            fates[r["url"]] = (int(r["req_status"]), int(r["crawl_status"]))
+    want_urls = list(dict.fromkeys(list(seeds) + list(fates.keys())))
+    url_to_id: dict[str, int] = {}
+    if want_urls:
+        want_ref = ray.put(want_urls)
 
-        def pick(batch: pa.Table) -> pa.Table:
-            keep = pc.is_in(batch["url"], value_set=pa.array(list(want)))
+        def pick_small(batch: pa.Table) -> pa.Table:
+            urls_list = (
+                ray.get(want_ref)
+                if isinstance(want_ref, ray.ObjectRef)
+                else want_ref
+            )
+            keep = pc.is_in(
+                batch["url"], value_set=pa.array(urls_list, pa.string())
+            )
             return batch.filter(keep)
 
-        hits = idmap.map_batches(pick, batch_format="pyarrow").take_all()
-        return {r["url"]: int(r["id"]) for r in hits}
-
-    seed_map = _ids_for(seeds)
-    seed_ids = [seed_map[s] for s in seeds if s in seed_map]
-    closed: dict[int, tuple[int, int]] = {}
-    if closed_ds is not None:
-        cids = closed_ds.join(
-            idmap, "inner", num_partitions=8, on=("url",)
-        ).take_all()
-        for r in cids:
-            closed[int(r["id"])] = (int(r["req_status"]), int(r["crawl_status"]))
+        for r in idmap.map_batches(pick_small, batch_format="pyarrow").take_all():
+            url_to_id[r["url"]] = int(r["id"])
+    seed_ids = [url_to_id[s] for s in seeds if s in url_to_id]
+    closed: dict[int, tuple[int, int]] = {
+        url_to_id[u]: fate for u, fate in fates.items() if u in url_to_id
+    }
 
     return SegmentIndex(
         seg_dir,
@@ -466,19 +486,37 @@ def _ids_to_tables(
             ).empty_table(),
             empty_seen,
         )
-    nparts = _join_parts(index.max_id + 1)
-    order_ids = rd.from_arrow(
-        pa.table(
-            {
-                "seq": pa.array(np.arange(len(o_url)), pa.int64()),
-                "id": pa.array(o_url, pa.int64()),
-            }
+    # ONE broadcast-filter pass over the idmap replaces the two hash
+    # joins that stood here: the walk output (visited/seen id arrays) is
+    # ALREADY driver-resident fixed-width ints, so broadcasting the
+    # sorted needed-id array costs nothing new, and every idmap batch
+    # does a vectorized searchsorted membership + sha1 for its survivors
+    # — O(universe) streamed once, O(visited) returned. Ray's
+    # hash-shuffle JoinOperator intermittently loses the key field on
+    # empty partition blocks ("No match or multiple matches for key
+    # field") — a filter pass has no such failure mode.
+    needed = np.union1d(o_url, seen_order)
+    need_ref = ray.put(needed)
+
+    def pick_urls(batch: pa.Table) -> pa.Table:
+        wanted = (
+            ray.get(need_ref) if isinstance(need_ref, ray.ObjectRef) else need_ref
         )
-    )
-    j = order_ids.join(index.idmap, "inner", num_partitions=nparts, on=("id",))
-    id_url_parts = [
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        if len(wanted) == 0 or len(ids) == 0:
+            mask = np.zeros(len(ids), dtype=bool)
+        else:
+            pos = np.searchsorted(wanted, ids).clip(0, len(wanted) - 1)
+            mask = wanted[pos] == ids
+        sub = batch.filter(pa.array(mask))
+        shas = pa.array(url_sha1_batch(sub["url"]), pa.binary())
+        return sub.append_column("url_sha1", shas)
+
+    parts = [
         t
-        for t in j.iter_batches(batch_format="pyarrow", batch_size=None)
+        for t in index.idmap.map_batches(
+            pick_urls, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
         if t.num_rows
     ]
     empty_order = pa.schema(
@@ -491,55 +529,37 @@ def _ids_to_tables(
             ("crawl_status", pa.int8()),
         ]
     ).empty_table()
-    if id_url_parts:
-        iu = pa.concat_tables(id_url_parts).sort_by("seq")
-        urls = iu["url"].combine_chunks()
-        ids = iu["id"].combine_chunks()
-        # parent urls need NO second join: every parent id (≠ -1) was
-        # itself popped earlier, so its url is already in this table —
-        # vectorized int lookup over driver-resident columns
+    if not parts:
+        return empty_order, empty_seen
+    lut = pa.concat_tables(parts).combine_chunks()
+    ids = lut["id"].combine_chunks()
+    urls = lut["url"].combine_chunks()
+    shas = lut["url_sha1"].combine_chunks()
+
+    if len(o_url):
+        oidx = pc.index_in(pa.array(o_url, pa.int64()), value_set=ids)
         pidx = pc.index_in(pa.array(o_parent, pa.int64()), value_set=ids)
-        parent_url = pc.fill_null(pc.take(urls, pidx).cast(pa.string()), "")
         order_t = pa.table(
             {
                 "seq": pa.array(np.arange(len(o_url)), pa.int64()),
-                "url": urls,
+                "url": pc.take(urls, oidx).cast(pa.string()),
                 "depth": pa.array(o_depth.astype(np.int32)),
-                "parent_url": parent_url,
+                "parent_url": pc.fill_null(
+                    pc.take(urls, pidx).cast(pa.string()), ""
+                ),
                 "req_status": pa.array(o_req.astype(np.int32)),
                 "crawl_status": pa.array(o_st.astype(np.int8)),
             }
         )
     else:
         order_t = empty_order
-
-    seen_ids = rd.from_arrow(
-        pa.table(
+    if len(seen_order):
+        sidx = pc.index_in(pa.array(seen_order, pa.int64()), value_set=ids)
+        seen_t = pa.table(
             {
-                "admit_seq": pa.array(np.arange(len(seen_order)), pa.int64()),
-                "id": pa.array(seen_order, pa.int64()),
+                "url": pc.take(urls, sidx).cast(pa.string()),
+                "url_sha1": pc.take(shas, sidx).cast(pa.binary()),
             }
-        )
-    )
-
-    def add_sha(batch: pa.Table) -> pa.Table:
-        shas = pa.array(url_sha1_batch(batch["url"]), pa.binary())
-        return batch.append_column("url_sha1", shas)
-
-    sj = (
-        seen_ids.join(index.idmap, "inner", num_partitions=nparts, on=("id",))
-        .map_batches(add_sha, batch_format="pyarrow")
-    )
-    seen_parts = [
-        t
-        for t in sj.iter_batches(batch_format="pyarrow", batch_size=None)
-        if t.num_rows
-    ]
-    if seen_parts:
-        seen_t = (
-            pa.concat_tables(seen_parts)
-            .sort_by("admit_seq")
-            .select(["url", "url_sha1"])
         )
     else:
         seen_t = empty_seen
