@@ -170,3 +170,28 @@ def test_metrics_emitted(ray_session, small_corpus_dir, tmp_path):
     assert totals["visited"] == totals["fetched"] + totals["errors"] + totals["disallowed"]
     for m in res.metrics["rounds"]:
         assert {"fetched", "deduped", "deferred", "wall_sec"} <= set(m)
+
+
+def test_ray_data_round_path_matches_task_path(
+    ray_session, small_corpus_dir, tmp_path
+):
+    """Rounds dispatch as plain Ray tasks up to task_round_max_files and
+    as a Ray Data streaming execution above it; both paths must produce
+    the identical crawl (task_round_max_files=0 forces every distributed
+    round through the streaming path; small_round_threshold=0 keeps the
+    driver fast path out of the comparison)."""
+    res_task = _run(
+        tmp_path=tmp_path / "t",
+        small_corpus_dir=small_corpus_dir,
+        small_round_threshold=0,
+    )
+    res_stream = _run(
+        tmp_path=tmp_path / "s",
+        small_corpus_dir=small_corpus_dir,
+        small_round_threshold=0,
+        task_round_max_files=0,
+    )
+    assert res_task.order.equals(res_stream.order)
+    assert sorted(res_task.seen["url"].to_pylist()) == sorted(
+        res_stream.seen["url"].to_pylist()
+    )
