@@ -7,9 +7,13 @@
 Headline = full exhaustion crawl of the bench synthetic web corpus
 (CorpusSpec.for_bench(sf)): frontier rounds → politeness → pruned bucket
 fetch → link/text extraction → sharded Bloom dedup → ordering replay →
-checkpoints. The frontier-dedup microbench times first-seen admission of a
-skewed 500k-URL stream through the shard pool (BASELINE.json metric:
-"crawl throughput (pages/sec) + frontier dedup wall-time").
+checkpoints. Two frontier-dedup microbenches (BASELINE.json metric:
+"crawl throughput (pages/sec) + frontier dedup wall-time"): the serial
+one times driver-API first-seen admission of a skewed 500k-URL stream;
+the parallel one drives 1M URLs through the REAL admission path — N
+concurrent tasks hashing and pushing pre-keyed candidates straight to
+the host-affine shards. `crawl_with_outputs` additionally times one
+crawl with full urls_out/sitemap materialization (distributed join).
 
 ``--scaling`` runs the headline crawl at num_cpus=N and 4N (default 1 vs
 4; pass explicit legs: ``--scaling 4 16``) in fresh processes on the SAME
@@ -229,6 +233,61 @@ def run_bench(sf_dir: str, num_cpus: int, crawl_only: bool = False) -> dict:
     dedup_sec = time.perf_counter() - t0
     queries["frontier_dedup"] = round(dedup_sec, 3)
 
+    # ---- parallel frontier-dedup: the REAL admission path --------------
+    # the serial loop above measures the driver convenience API; the
+    # engine's admission is task-side pushes (pre-hashed keys straight to
+    # host-affine shards). N tasks generate+hash+push slices of the same
+    # skewed stream concurrently — the number that scales with the
+    # cluster.
+    import pyarrow as _pa
+
+    import ray as _ray
+
+    @_ray.remote
+    def _push_slice(pool, lo: int, hi: int, total: int) -> int:
+        from simple_crawler_ray.functions.urlkit import shard_of_batch
+        from simple_crawler_ray.state.seen import url_key
+
+        urls = [
+            f"https://host{i % 97}.example/p{(i * 7919) % (total // 2)}"
+            for i in range(lo, hi)
+        ]
+        t = _pa.table(
+            {
+                "url": _pa.array(urls, _pa.string()),
+                "host": _pa.array([""] * len(urls), _pa.string()),
+                "depth": _pa.array([0] * len(urls), _pa.int32()),
+                "parent_url": _pa.array([""] * len(urls), _pa.string()),
+                "shard": _pa.array(
+                    shard_of_batch(urls, pool.num_shards), _pa.int32()
+                ),
+                "key": _pa.array([url_key(u) for u in urls], _pa.binary()),
+            }
+        )
+        _ray.get(pool.push_candidates(t))
+        return len(urls)
+
+    par_sec = None
+    if not crawl_only:
+        n_par = 1_000_000
+        pool2 = ShardedSeenSet(num_shards=8)
+        pool2.admit(["https://warm.example/x"])
+        n_tasks = max(8, num_cpus)
+        step = n_par // n_tasks
+        t0 = time.perf_counter()
+        _ray.get(
+            [
+                _push_slice.remote(
+                    pool2, i * step, min((i + 1) * step, n_par), n_par
+                )
+                for i in range(n_tasks)
+            ]
+        )
+        par_sec = time.perf_counter() - t0
+        admitted_t, received = pool2.drain_admitted()
+        pool2.shutdown()
+        queries["frontier_dedup_parallel"] = round(par_sec, 3)
+
     result = {
         "metric": "crawl_wall_sec",
         "value": round(crawl_sec, 3),
@@ -240,6 +299,14 @@ def run_bench(sf_dir: str, num_cpus: int, crawl_only: bool = False) -> dict:
         "rounds": res.rounds,
         "frontier_dedup_sec": round(dedup_sec, 3),
         "frontier_dedup_urls_per_sec": round(n_urls / dedup_sec),
+        **(
+            {
+                "frontier_dedup_parallel_sec": round(par_sec, 3),
+                "frontier_dedup_parallel_urls_per_sec": round(1_000_000 / par_sec),
+            }
+            if par_sec is not None
+            else {}
+        ),
         "cpu_steal_ratio": round(steal_ratio, 4),
     }
 
