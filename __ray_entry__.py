@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t5_chunk_documents": tx.t5_chunk_documents,
         "t6_train_val_split": tx.t6_train_val_split,
         "t7_topk_per_lang": tx.t7_topk_per_lang,
+        "t8_normalize_text": tx.t8_normalize_text,
         # -- dedup family --------------------------------------------------
         "d1_exact_dedup": dd.d1_exact_dedup,
         "d2_minhash_lsh": dd.d2_minhash_lsh,
@@ -248,6 +249,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT lang, doc_id, n_tokens, CAST(rk AS BIGINT) AS rank
             FROM ranked WHERE rk <= 3
+        """,
+        "t8_normalize_text": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(lower(text),
+                        '[^\w\s]', '', 'g'), '\s+', ' ', 'g')) AS norm_text,
+                   CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+                        '[^\w\s]', '', 'g'), '\s+', ' ', 'g'))) AS BIGINT)
+                       AS n_chars
+            FROM documents
         """,
         "e4_heavy_hitters": """
             SELECT user_id, count(*) AS n_events

@@ -28,6 +28,7 @@ __all__ = [
     "t5_chunk_documents",
     "t6_train_val_split",
     "t7_topk_per_lang",
+    "t8_normalize_text",
 ]
 
 # stopword markers per language (tiny n-gram/stopword heuristic; the texts
@@ -250,6 +251,32 @@ def t7_topk_per_lang(sf_dir: str, k: int = 3):
             "n_tokens": top["n_tokens"].astype("int64"),
             "rank": top["rank"].astype("int64"),
         }
+    )
+
+
+def t8_normalize_text(sf_dir: str):
+    """Text normalization — the cleanup stage that precedes tokenization
+    in a training-data pipeline: lowercase, strip punctuation, collapse
+    whitespace runs, trim. Entirely ``pyarrow.compute`` kernels
+    (zero-copy in, one pass per kernel); both sides run RE2, so the
+    regex classes (``[^\\w\\s]``, ``\\s+``) mean the same thing in the
+    DuckDB oracle."""
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(batch["text"])
+        t = pc.replace_substring_regex(t, pattern=r"[^\w\s]", replacement="")
+        t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
+        t = pc.utf8_trim_whitespace(t)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "norm_text": t,
+                "n_chars": pc.cast(pc.utf8_length(t), pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        normalize, batch_format="pyarrow", batch_size=4096
     )
 
 
