@@ -105,6 +105,13 @@ def e4_heavy_hitters(sf_dir: str, k: int = 10, counters: int = 256):
     count equals the plain SQL answer whenever the true top-k are heavy
     enough to survive stage 1 (guaranteed at count > n_events/counters;
     asserted by the oracle gate at both test scales).
+
+    The candidate union is O(batches × counters); at 10^6+ batches the
+    union itself gets big, and the standard fix is hierarchical MG
+    MERGES (pairwise: sum matching counters, then decrement all by the
+    (counters+1)-th largest and drop ≤0) via a tree of ``map_batches``
+    reduction rounds — same guarantee, O(counters) driver state. The
+    flat union here is exact for any survivor set, just not minimal.
     """
     import numpy as np
 
