@@ -26,6 +26,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from .io import read_clean
+
 __all__ = [
     "d1_exact_dedup",
     "d2_minhash_lsh",
@@ -92,7 +94,7 @@ def d1_exact_dedup(sf_dir: str):
     """
     import pyarrow.compute as pc
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_clean(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
     dupes = docs.map_batches(
         lambda t: t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0)),
         batch_format="pyarrow",
@@ -187,7 +189,7 @@ def d2_minhash_lsh(sf_dir: str, threshold: float = 0.5):
     ``d4_ngram_jaccard_pairs``.
     """
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_clean(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
 
     def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -386,9 +388,7 @@ def d3_simhash(sf_dir: str):
     """64-bit SimHash per document (token-hash bit voting), as a hex string
     column (uint64-safe). Near-dup = small Hamming distance — the banded
     search over these signatures is ``d3b_simhash_neardup``."""
-    return rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(_simhash_batch, batch_format="pandas", batch_size=1024)
+    return read_clean(f"{sf_dir}/documents.parquet", ["doc_id", "text"]).map_batches(_simhash_batch, batch_format="pandas", batch_size=1024)
 
 
 def d3b_simhash_neardup(sf_dir: str, max_hamming: int = 3):
@@ -409,7 +409,7 @@ def d3b_simhash_neardup(sf_dir: str, max_hamming: int = 3):
     Output: (doc_a, doc_b, hamming) sorted — near-dup clusters at 100 TB
     run exactly this shape with more/wider bands.
     """
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_clean(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
 
     def perturb(batch: pa.Table) -> pa.Table:
         t = batch.filter(pa.compute.equal(pa.compute.bit_wise_and(batch["doc_id"], 1), 0))
@@ -519,9 +519,7 @@ def d4_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.01, max_doc_id: int
     Jaccard ≥ threshold. Intersections are computed distributed; the
     |A∪B| denominator comes from per-doc shingle counts.
     """
-    docs = rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(
+    docs = read_clean(f"{sf_dir}/documents.parquet", ["doc_id", "text"]).map_batches(
         lambda t: t.filter(pa.compute.less(t["doc_id"], max_doc_id)),
         batch_format="pyarrow",
     )
@@ -584,7 +582,7 @@ def d5_embedding_cosine_pairs(sf_dir: str, threshold: float = 0.4, max_vec_id: i
 
     path = f"{sf_dir}/embeddings.parquet"
     block = (
-        rd.read_parquet(path, columns=["vec_id", "embedding"])
+        read_clean(path, ["vec_id", "embedding"])
         .map_batches(
             lambda t: t.filter(pa.compute.less(t["vec_id"], max_vec_id)),
             batch_format="pyarrow",
@@ -622,7 +620,7 @@ def d5_embedding_cosine_pairs(sf_dir: str, threshold: float = 0.4, max_vec_id: i
         )
 
     out = (
-        rd.read_parquet(path, columns=["vec_id", "embedding"])
+        read_clean(path, ["vec_id", "embedding"])
         .map_batches(pairs_batch, batch_format="pandas", batch_size=4096)
         .to_pandas()
     )
@@ -757,7 +755,7 @@ def d5b_embedding_lsh_pairs(sf_dir: str, threshold: float = 0.85):
     from .relational import partitioned_group_agg
 
     pairs = partitioned_group_agg(
-        rd.read_parquet(path, columns=["vec_id", "embedding"])
+        read_clean(path, ["vec_id", "embedding"])
         .map_batches(inject, batch_format="pandas", batch_size=4096)
         .map_batches(to_bands, batch_format="pandas", batch_size=4096)
         .groupby("band")

@@ -11,6 +11,8 @@ from __future__ import annotations
 import pandas as pd
 import ray.data as rd
 
+from .io import read_clean
+
 __all__ = [
     "e1_sessionize",
     "e2_topk_users",
@@ -27,7 +29,7 @@ def e2_topk_users(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     agg = (
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+        read_clean(f"{sf_dir}/events.parquet", ["user_id", "value"])
         .groupby("user_id")
         .aggregate(Sum("value", alias_name="total"), Count(alias_name="n"))
         .sort(["total", "user_id"], descending=[True, False])
@@ -79,7 +81,7 @@ def e1_sessionize(sf_dir: str):
         )
 
     return partitioned_group_agg(
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"]),
+        read_clean(f"{sf_dir}/events.parquet", ["user_id", "ts"]),
         keys=["user_id"],
         final=sessions_part,
     )
@@ -128,7 +130,7 @@ def e4_heavy_hitters(sf_dir: str, k: int = 10, counters: int = 256):
         return pa.table({"user_id": pa.array(ids.astype("int64"), pa.int64())})
 
     candidates = (
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+        read_clean(f"{sf_dir}/events.parquet", ["user_id"])
         .map_batches(mg_sketch, batch_format="pandas", batch_size=65536)
         .to_pandas()["user_id"]
         .unique()
@@ -151,7 +153,7 @@ def e4_heavy_hitters(sf_dir: str, k: int = 10, counters: int = 256):
     from ray.data.aggregate import Sum
 
     exact = (
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+        read_clean(f"{sf_dir}/events.parquet", ["user_id"])
         .map_batches(recount, batch_format="pandas", batch_size=65536)
         .groupby("user_id")
         .aggregate(Sum("p_n", alias_name="n"))
@@ -211,9 +213,7 @@ def e3_sliding_window(sf_dir: str):
         )
 
     agg = partitioned_group_agg(
-        rd.read_parquet(
-            f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
-        ).map_batches(partial, batch_format="pandas", batch_size=65536),
+        read_clean(f"{sf_dir}/events.parquet", ["ts", "event_type", "value"]).map_batches(partial, batch_format="pandas", batch_size=65536),
         ["event_type", "window_epoch"],
         final,
     ).to_pandas()

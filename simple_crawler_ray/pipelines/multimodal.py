@@ -17,6 +17,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from .io import read_clean
+
 
 def _pool_size() -> tuple[int, int]:
     """Actor-pool bounds sized to the cluster: autoscale 2 → all CPUs.
@@ -136,9 +138,7 @@ def m2_frame_sample(sf_dir: str):
     substr + md5 over a generated frame-index series. The oracle slices
     characters, the stage slices bytes — equal only for ASCII corpora, so
     ``assert_ascii=True`` turns a non-ASCII input into a loud error."""
-    return rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(
+    return read_clean(f"{sf_dir}/documents.parquet", ["doc_id", "text"]).map_batches(
         FrameSampleStage,
         fn_constructor_kwargs={
             "frame_bytes": 256,
@@ -155,9 +155,7 @@ def m1_binary_features(sf_dir: str):
     """Binary-payload feature extraction via an actor pool: byte length +
     content digest per payload (documents.text bytes stand in for the
     opaque media column). SQL oracle: octet_length + md5."""
-    return rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(
+    return read_clean(f"{sf_dir}/documents.parquet", ["doc_id", "text"]).map_batches(
         BinaryFeatureStage,
         fn_constructor_kwargs={"fake": True},
         batch_format="pyarrow",

@@ -26,6 +26,8 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data as rd
+
+from .io import read_clean
 from ray.data.aggregate import Count, Sum
 
 __all__ = [
@@ -44,7 +46,7 @@ __all__ = [
 
 
 def _li(sf_dir: str, columns: list[str]) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=columns)
+    return read_clean(f"{sf_dir}/lineitem.parquet", columns)
 
 
 def partitioned_group_agg(
@@ -147,9 +149,9 @@ def q2_topk_orders(sf_dir: str):
         ).head(k)
 
     parts = (
-        rd.read_parquet(
+        read_clean(
             f"{sf_dir}/orders.parquet",
-            columns=["o_orderkey", "o_totalprice", "o_orderdate"],
+            ["o_orderkey", "o_totalprice", "o_orderdate"],
         )
         .map_batches(partial, batch_format="pandas")
         .to_pandas()
@@ -180,9 +182,7 @@ def q3_segment_revenue(sf_dir: str):
         return g
 
     agg = (
-        rd.read_parquet(
-            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
-        )
+        read_clean(f"{sf_dir}/orders.parquet", ["o_custkey", "o_totalprice"])
         .map_batches(attach, batch_format="pandas", batch_size=65536)
         .groupby("c_mktsegment")
         .aggregate(Sum("p_rev", alias_name="rev"), Sum("p_n", alias_name="n"))
@@ -205,9 +205,7 @@ def q4_priority_revenue(sf_dir: str):
     fixed constant: ~1 partition per 500k probe rows, min 4 — at cluster
     scale this grows toward the core count."""
     li = _li(sf_dir, ["l_orderkey", "l_extendedprice", "l_discount"])
-    orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
-    )
+    orders = read_clean(f"{sf_dir}/orders.parquet", ["o_orderkey", "o_orderpriority"])
     n_parts = max(4, min(64, li.count() // 500_000))
     joined = li.join(
         orders,
@@ -257,9 +255,7 @@ def q5_region_acctbal(sf_dir: str):
         )
 
     agg = (
-        rd.read_parquet(
-            f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_acctbal"]
-        )
+        read_clean(f"{sf_dir}/customer.parquet", ["c_nationkey", "c_acctbal"])
         .map_batches(attach, batch_format="pandas")
         .groupby("r_name")
         .aggregate(Sum("p_bal", alias_name="bal"), Sum("p_n", alias_name="n"))
@@ -305,7 +301,7 @@ def q6_forecast_revenue(sf_dir: str):
 
 def q7_distinct_event_types(sf_dir: str):
     """Distinct over a column (`unique` — a shuffle; SURVEY §2.6)."""
-    vals = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"]).unique(
+    vals = read_clean(f"{sf_dir}/events.parquet", ["event_type"]).unique(
         "event_type"
     )
     return pd.DataFrame({"event_type": sorted(vals)})
@@ -338,7 +334,7 @@ def q8_hourly_events(sf_dir: str):
         )
 
     agg = partitioned_group_agg(
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+        read_clean(f"{sf_dir}/events.parquet", ["ts", "event_type", "value"])
         .map_batches(partial, batch_format="pandas", batch_size=65536),
         ["event_type", "hour_epoch"],
         final,
@@ -357,9 +353,7 @@ def q10_above_avg_customers(sf_dir: str):
     """Scalar-subquery pattern: global aggregate computed first (one tiny
     result), broadcast into a vectorized filter, then grouped count —
     the two-phase shape that replaces correlated subqueries at scale."""
-    ds = rd.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_acctbal"]
-    )
+    ds = read_clean(f"{sf_dir}/customer.parquet", ["c_nationkey", "c_acctbal"])
     avg_bal = ds.mean("c_acctbal")
 
     def over_avg(batch: pa.Table) -> pa.Table:
@@ -384,7 +378,7 @@ def q11_value_extremes(sf_dir: str):
     from ray.data.aggregate import Max, Min
 
     agg = (
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+        read_clean(f"{sf_dir}/events.parquet", ["event_type", "value"])
         .groupby("event_type")
         .aggregate(
             Min("value", alias_name="vmin"),
@@ -407,7 +401,7 @@ def q11_value_extremes(sf_dir: str):
 
 def q9_union_counts(sf_dir: str):
     """Union of two filtered streams → grouped count (`Dataset.union`)."""
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    ev = read_clean(f"{sf_dir}/events.parquet", ["event_type", "value"])
     a = ev.map_batches(
         lambda t: t.filter(pc.greater(t["value"], pa.scalar(50.0))),
         batch_format="pyarrow",

@@ -25,6 +25,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from .io import read_clean
+
 __all__ = ["s1_knn_bruteforce", "s2_ann_lsh", "s3_ann_ivf"]
 
 _N_QUERIES = 5
@@ -41,7 +43,7 @@ def s1_knn_bruteforce(sf_dir: str):
     ties broken by neighbor_id — rank-exact vs the SQL oracle."""
     path = f"{sf_dir}/embeddings.parquet"
     queries = (
-        rd.read_parquet(path, columns=["vec_id", "embedding"])
+        read_clean(path, ["vec_id", "embedding"])
         .map_batches(
             lambda t: t.filter(pc.less(t["vec_id"], _N_QUERIES)),
             batch_format="pyarrow",
@@ -82,7 +84,7 @@ def s1_knn_bruteforce(sf_dir: str):
         )
 
     partials = (
-        rd.read_parquet(path, columns=["vec_id", "embedding"])
+        read_clean(path, ["vec_id", "embedding"])
         .map_batches(partial_topk, batch_format="pandas", batch_size=4096)
         .to_pandas()
     )
@@ -120,7 +122,7 @@ def s2_ann_lsh(sf_dir: str, n_planes: int | None = None, probe_radius: int = 3):
     from itertools import combinations
 
     path = f"{sf_dir}/embeddings.parquet"
-    corpus = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    corpus = read_clean(path, ["vec_id", "embedding"])
     n = corpus.count()
     if n_planes is None:
         # target ~64 vectors/bucket. NOTE on the recall/scan trade-off:
@@ -139,7 +141,7 @@ def s2_ann_lsh(sf_dir: str, n_planes: int | None = None, probe_radius: int = 3):
     # query codes + probe masks (one bool lookup row of size 2^planes per
     # query — tiny; at large n_planes this becomes a hash set per query)
     queries = (
-        rd.read_parquet(path, columns=["vec_id", "embedding"])
+        read_clean(path, ["vec_id", "embedding"])
         .map_batches(
             lambda t: t.filter(pc.less(t["vec_id"], _N_QUERIES)),
             batch_format="pyarrow",
@@ -246,7 +248,7 @@ def s3_ann_ivf(
     Output (query_id, neighbor_id), ≤ k per query, sorted.
     """
     path = f"{sf_dir}/embeddings.parquet"
-    corpus = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    corpus = read_clean(path, ["vec_id", "embedding"])
     n = corpus.count()
     if n_lists is None:
         # sqrt(n) lists is the standard IVF sizing; floor keeps the toy
@@ -277,7 +279,7 @@ def s3_ann_ivf(
         centroids = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
 
     queries = (
-        rd.read_parquet(path, columns=["vec_id", "embedding"])
+        read_clean(path, ["vec_id", "embedding"])
         .map_batches(
             lambda t: t.filter(pc.less(t["vec_id"], _N_QUERIES)),
             batch_format="pyarrow",

@@ -18,6 +18,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
+
+from .io import read_clean
 from ray.data.aggregate import Sum
 
 __all__ = [
@@ -41,7 +43,7 @@ _LANG_MARKERS = {
 
 
 def _docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return read_clean(f"{sf_dir}/documents.parquet", columns)
 
 
 def _token_counts(text: pa.ChunkedArray | pa.Array) -> pa.Array:
