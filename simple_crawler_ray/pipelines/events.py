@@ -24,17 +24,30 @@ _GAP_MIN = 30
 
 
 def e2_topk_users(sf_dir: str):
-    """Top-10 users by total event value: grouped aggregate → global sort
-    → limit (agg+top-k composition; ties broken by user_id)."""
+    """Top-10 users by total event value: grouped aggregate → per-batch
+    partial top-k → tiny driver merge (the q2/s1 no-global-sort shape:
+    ≤ k rows leave each post-aggregate batch, so no all-to-all sort of
+    the per-user table — at 10^9 users that sort is the whole job)."""
     from ray.data.aggregate import Count, Sum
 
-    agg = (
+    k = 10
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(
+            ["total", "user_id"], ascending=[False, True]
+        ).head(k)
+
+    parts = (
         read_clean(f"{sf_dir}/events.parquet", ["user_id", "value"])
         .groupby("user_id")
         .aggregate(Sum("value", alias_name="total"), Count(alias_name="n"))
-        .sort(["total", "user_id"], descending=[True, False])
-        .limit(10)
+        .map_batches(partial, batch_format="pandas")
         .to_pandas()
+    )
+    agg = (
+        parts.sort_values(["total", "user_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
     )
     return pd.DataFrame(
         {
