@@ -13,8 +13,9 @@ Scale shapes:
   (sketch-then-verify, ray_guide §agg);
 - SimHash: 64-bit vectorized signatures; near-dup search = banded
   Hamming buckets + XOR-popcount verify (d3b);
-- embedding cosine: broadcast block + streamed matmul (d5), LSH-bucketed
-  via s2's machinery at scale.
+- embedding cosine: broadcast block + streamed matmul (d5); the
+  LSH-bucketed whole-table scale path is BUILT as d5b (hyperplane bands
+  → bucket pairing → exact-cosine verify).
 """
 
 from __future__ import annotations
@@ -573,10 +574,10 @@ def d5_embedding_cosine_pairs(sf_dir: str, threshold: float = 0.4, max_vec_id: i
     the L2-normalized matrix); the corpus STREAMS through ``map_batches``,
     each batch doing one numpy matmul against the broadcast block and
     emitting its qualifying pairs — the same broadcast-small-side pattern
-    as s1. At 10^9 vectors the broadcast block becomes the LSH-bucketed
-    candidate structure of ``s2_ann_lsh`` (bucket-join instead of full
-    matmul); the exact bounded form is the oracle-checkable counterpart,
-    like d4 is to d2.
+    as s1. The 10^9-vector path — LSH-bucketed pairing over the whole
+    table instead of a broadcast block — is ``d5b_embedding_lsh_pairs``;
+    this exact bounded form is the oracle-checkable counterpart, like d4
+    is to d2.
     """
     import ray as _ray
 

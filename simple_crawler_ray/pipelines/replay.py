@@ -18,8 +18,10 @@ per-partition lineage lives in the round results + seen-shard snapshots).
 Scale note: replay is O(visited) dict/stack work over ~100 bytes/URL
 metadata — inherently sequential (matching a serial crawler's order is a
 sequential decision problem), but it is the only non-distributed piece and
-touches no page payloads. At 10^10 frontier scale it streams adjacency
-segments from Parquet and spills its stack; typical page budgets
+touches no page payloads. At 10^10 frontier scale the streaming variant
+(``replay_stream.py``: distributed integer-id segments, bounded LRU
+segment cache, spillable stack — enabled via ``adjacency_via_disk``)
+replaces this in-RAM form; typical page budgets
 (reference default max_pages=10, configuration.py:28) keep it trivially
 small.
 """
