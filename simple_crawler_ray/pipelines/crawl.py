@@ -975,17 +975,30 @@ def _write_urls_out(cfg: CrawlConfig, order_t: pa.Table) -> None:
                     batch["crawl_status"],
                 )
 
-            ds = (
-                fetched.map_batches(encode_links, batch_format="pyarrow")
-                .join(
-                    rd.from_arrow(meta_t),
-                    "inner",
-                    num_partitions=nparts,
-                    on=("url",),
+            from .io import retry_join_flake
+
+            def write_joined() -> None:
+                (
+                    fetched.map_batches(encode_links, batch_format="pyarrow")
+                    .join(
+                        rd.from_arrow(meta_t),
+                        "inner",
+                        num_partitions=nparts,
+                        on=("url",),
+                    )
+                    .map_batches(from_join, batch_format="pyarrow")
+                    .write_parquet(out_path)
                 )
-                .map_batches(from_join, batch_format="pyarrow")
-            )
-        ds.write_parquet(out_path)
+
+            def wipe_partial() -> None:
+                import shutil as _sh
+
+                _sh.rmtree(out_path, ignore_errors=True)
+
+            retry_join_flake(write_joined, cleanup=wipe_partial)
+            ds = None
+        if ds is not None:
+            ds.write_parquet(out_path)
 
     # closed (error/disallowed) visited rows have no fetched content —
     # vectorized Arrow filter over the order slice, no Python loop

@@ -27,7 +27,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-from .io import read_clean
+from .io import read_clean, retry_join_flake
 
 __all__ = [
     "d1_exact_dedup",
@@ -312,34 +312,37 @@ def d2_minhash_lsh(sf_dir: str, threshold: float = 0.5):
             return pd.DataFrame(_EMPTY_PAIRS)
         return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
-    sh_ds = sh_ds.materialize()
-    amap = sh_ds.map_batches(
-        lambda b: _pa.table({"doc_a": b["doc_id"], "sh_a": b["sh"]}),
-        batch_format="pyarrow",
-    )
-    bmap = sh_ds.map_batches(
-        lambda b: _pa.table({"doc_b": b["doc_id"], "sh_b": b["sh"]}),
-        batch_format="pyarrow",
-    )
-    cand_ds = rd.from_arrow(
-        _pa.table(
-            {
-                "doc_a": _pa.array(cand["doc_a"].astype("int64"), _pa.int64()),
-                "doc_b": _pa.array(cand["doc_b"].astype("int64"), _pa.int64()),
-            }
-        )
-    )
-    nparts = max(8, len(cand) // 500_000)
-    joined = cand_ds.join(amap, "inner", num_partitions=nparts, on=("doc_a",)).join(
-        bmap, "inner", num_partitions=nparts, on=("doc_b",)
-    )
+    sh_mat = sh_ds.materialize()
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         return verify_rows(
             batch["doc_a"], batch["doc_b"], batch["sh_a"], batch["sh_b"]
         )
 
-    out = joined.map_batches(verify, batch_format="pandas").to_pandas()
+    def run_join_verify() -> pd.DataFrame:
+        amap = sh_mat.map_batches(
+            lambda b: _pa.table({"doc_a": b["doc_id"], "sh_a": b["sh"]}),
+            batch_format="pyarrow",
+        )
+        bmap = sh_mat.map_batches(
+            lambda b: _pa.table({"doc_b": b["doc_id"], "sh_b": b["sh"]}),
+            batch_format="pyarrow",
+        )
+        cand_ds = rd.from_arrow(
+            _pa.table(
+                {
+                    "doc_a": _pa.array(cand["doc_a"].astype("int64"), _pa.int64()),
+                    "doc_b": _pa.array(cand["doc_b"].astype("int64"), _pa.int64()),
+                }
+            )
+        )
+        nparts = max(8, len(cand) // 500_000)
+        joined = cand_ds.join(
+            amap, "inner", num_partitions=nparts, on=("doc_a",)
+        ).join(bmap, "inner", num_partitions=nparts, on=("doc_b",))
+        return joined.map_batches(verify, batch_format="pandas").to_pandas()
+
+    out = retry_join_flake(run_join_verify)
     if out.empty:
         return pd.DataFrame(_EMPTY_PAIRS)
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

@@ -27,7 +27,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
-from .io import read_clean
+from .io import read_clean, retry_join_flake
 from ray.data.aggregate import Count, Sum
 
 __all__ = [
@@ -203,17 +203,9 @@ def q4_priority_revenue(sf_dir: str):
     the join key). Each join partition is backed by an aggregator actor
     (~2 s spin-up each), so num_partitions is sized to the DATA, not a
     fixed constant: ~1 partition per 500k probe rows, min 4 — at cluster
-    scale this grows toward the core count."""
-    li = _li(sf_dir, ["l_orderkey", "l_extendedprice", "l_discount"])
-    orders = read_clean(f"{sf_dir}/orders.parquet", ["o_orderkey", "o_orderpriority"])
-    n_parts = max(4, min(64, li.count() // 500_000))
-    joined = li.join(
-        orders,
-        join_type="inner",
-        num_partitions=n_parts,
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
-    )
+    scale this grows toward the core count. The whole lineage runs under
+    ``retry_join_flake`` (io.py) — the intermittent JoinOperator
+    FieldRef flake must not fail an otherwise-exact oracle query."""
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.assign(
@@ -223,12 +215,27 @@ def q4_priority_revenue(sf_dir: str):
             p_rev=("rev", "sum"), p_n=("rev", "size")
         )
 
-    agg = (
-        joined.map_batches(partial, batch_format="pandas", batch_size=65536)
-        .groupby("o_orderpriority")
-        .aggregate(Sum("p_rev", alias_name="rev"), Sum("p_n", alias_name="n"))
-        .to_pandas()
-    )
+    def run() -> pd.DataFrame:
+        li = _li(sf_dir, ["l_orderkey", "l_extendedprice", "l_discount"])
+        orders = read_clean(
+            f"{sf_dir}/orders.parquet", ["o_orderkey", "o_orderpriority"]
+        )
+        n_parts = max(4, min(64, li.count() // 500_000))
+        joined = li.join(
+            orders,
+            join_type="inner",
+            num_partitions=n_parts,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+        return (
+            joined.map_batches(partial, batch_format="pandas", batch_size=65536)
+            .groupby("o_orderpriority")
+            .aggregate(Sum("p_rev", alias_name="rev"), Sum("p_n", alias_name="n"))
+            .to_pandas()
+        )
+
+    agg = retry_join_flake(run)
     return pd.DataFrame(
         {
             "o_orderpriority": agg["o_orderpriority"],

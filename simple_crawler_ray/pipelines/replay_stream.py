@@ -262,22 +262,27 @@ def build_replay_segments(
                 )
             return out
 
-        rows = pages.map_batches(explode, batch_format="pyarrow")
         n_hint = max_id + 1
-        lid_map = idmap.map_batches(
-            lambda b: pa.table({"lurl": b["url"], "lid": b["id"]}),
-            batch_format="pyarrow",
-        )
-        rows = rows.join(
-            lid_map, "left_outer", num_partitions=_join_parts(n_hint), on=("lurl",)
-        )
-        pid_map = idmap.map_batches(
-            lambda b: pa.table({"purl": b["url"], "pid": b["id"]}),
-            batch_format="pyarrow",
-        )
-        rows = rows.join(
-            pid_map, "inner", num_partitions=_join_parts(n_hint), on=("purl",)
-        )
+
+        def build_joined_rows() -> rd.Dataset:
+            rows = pages.map_batches(explode, batch_format="pyarrow")
+            lid_map = idmap.map_batches(
+                lambda b: pa.table({"lurl": b["url"], "lid": b["id"]}),
+                batch_format="pyarrow",
+            )
+            rows = rows.join(
+                lid_map,
+                "left_outer",
+                num_partitions=_join_parts(n_hint),
+                on=("lurl",),
+            )
+            pid_map = idmap.map_batches(
+                lambda b: pa.table({"purl": b["url"], "pid": b["id"]}),
+                batch_format="pyarrow",
+            )
+            return rows.join(
+                pid_map, "inner", num_partitions=_join_parts(n_hint), on=("purl",)
+            )
 
         def add_seg(batch: pa.Table) -> pa.Table:
             seg = pc.divide(batch["pid"], seg_span)
@@ -310,12 +315,20 @@ def build_replay_segments(
                 {"seg": [seg], "pages": [len(upids)], "link_bytes": [lbytes]}
             )
 
-        summary = (
-            rows.map_batches(add_seg, batch_format="pyarrow")
-            .groupby("seg")
-            .map_groups(rebuild, batch_format="pandas")
-            .take_all()
-        )
+        def run_segment_build() -> list:
+            # retry-safe: seg file names are a pure function of pid ranges,
+            # so a retried attempt overwrites exactly the same file set
+            return (
+                build_joined_rows()
+                .map_batches(add_seg, batch_format="pyarrow")
+                .groupby("seg")
+                .map_groups(rebuild, batch_format="pandas")
+                .take_all()
+            )
+
+        from .io import retry_join_flake
+
+        summary = retry_join_flake(run_segment_build)
         total_link_string_bytes = int(sum(r["link_bytes"] for r in summary))
 
     # ---- 3. small sides: seeds + closed fates as int ids ---------------
