@@ -51,6 +51,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q9_union_counts": rel.q9_union_counts,
         "q10_above_avg_customers": rel.q10_above_avg_customers,
         "q11_value_extremes": rel.q11_value_extremes,
+        "q12_price_quantiles": rel.q12_price_quantiles,
+        "q13_customers_without_orders": rel.q13_customers_without_orders,
         # -- text analysis -------------------------------------------------
         "t1_token_stats": tx.t1_token_stats,
         "t2_quality_score": tx.t2_quality_score,
@@ -77,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e2_topk_users": ev.e2_topk_users,
         "e3_sliding_window": ev.e3_sliding_window,
         "e4_heavy_hitters": ev.e4_heavy_hitters,
+        "e5_asof_join": ev.e5_asof_join,
         "m1_binary_features": mm.m1_binary_features,
         "m2_frame_sample": mm.m2_frame_sample,
     }
@@ -181,6 +184,41 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id
             ORDER BY sum(value) DESC, user_id
             LIMIT 10
+        """,
+        "e5_asof_join": """
+            WITH clicks AS (
+                SELECT user_id, ts, max(value) AS click_value
+                FROM events WHERE event_type = 'click'
+                GROUP BY user_id, ts
+            ),
+            errors AS (
+                SELECT event_id, user_id, ts
+                FROM events WHERE event_type = 'error'
+            )
+            SELECT e.event_id, e.user_id,
+                   epoch_us(e.ts) AS ts_us,
+                   COALESCE(epoch_us(c.ts), -1) AS click_ts_us,
+                   COALESCE(c.click_value, -1.0) AS click_value
+            FROM errors e ASOF LEFT JOIN clicks c
+              ON e.user_id = c.user_id AND e.ts >= c.ts
+            ORDER BY e.event_id
+        """,
+        "q12_price_quantiles": """
+            SELECT quantile_disc(o_totalprice, 0.5) AS p50,
+                   quantile_disc(o_totalprice, 0.9) AS p90,
+                   quantile_disc(o_totalprice, 0.99) AS p99,
+                   count(*) AS n_orders
+            FROM orders
+        """,
+        "q13_customers_without_orders": """
+            SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+            FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT'
+            )
+            ORDER BY c_custkey
         """,
         "t5_chunk_documents": """
             SELECT doc_id, i AS chunk_idx,

@@ -318,6 +318,8 @@ def run_bench(sf_dir: str, num_cpus: int, crawl_only: bool = False) -> dict:
             "q1_pricing_summary",
             "q4_priority_revenue",
             "q8_hourly_events",
+            "q12_price_quantiles",
+            "q13_customers_without_orders",
             "t2_quality_score",
             "d1_exact_dedup",
             "d2_minhash_lsh",
@@ -329,6 +331,7 @@ def run_bench(sf_dir: str, num_cpus: int, crawl_only: bool = False) -> dict:
             "e1_sessionize",
             "e3_sliding_window",
             "e4_heavy_hitters",
+            "e5_asof_join",
             "t6_train_val_split",
             "t7_topk_per_lang",
             "m1_binary_features",

@@ -18,6 +18,7 @@ __all__ = [
     "e2_topk_users",
     "e3_sliding_window",
     "e4_heavy_hitters",
+    "e5_asof_join",
 ]
 
 _GAP_MIN = 30
@@ -183,6 +184,90 @@ def e4_heavy_hitters(sf_dir: str, k: int = 10, counters: int = 256):
             "n_events": top["n"].astype("int64"),
         }
     )
+
+
+def e5_asof_join(sf_dir: str):
+    """AS-OF JOIN (event attribution): for every ``error`` event, the most
+    recent ``click`` event of the same user at or before the error's
+    timestamp — the operator Ray Data lacks natively, built as the brief's
+    option (a): co-partition + sort + per-partition merge.
+
+    Shape: both sides ride ONE dataset with a ``side`` tag (0 = error
+    probe, 1 = click build), hash-coarse-partitioned by user_id via
+    ``partitioned_group_agg`` so every row of a user lands in the same
+    partition; each partition then runs ONE vectorized
+    ``pd.merge_asof(direction="backward", by="user_id")`` over its sorted
+    slice. No broadcast, no all-pairs: the exchange is the same
+    constant-partition hash shuffle as every aggregate here, and the
+    per-partition merge is O(n log n) in partition rows. Partitioning
+    assumption (documented per the brief): a single user's events fit one
+    partition — hot users would need ts-range sub-splitting with boundary
+    carry-over, which this synthetic log (~uniform users) never triggers.
+
+    Tie-break determinism: click rows are deduped per (user_id, ts) to
+    max(value) on BOTH sides of the oracle, so equal-timestamp clicks
+    cannot make the match ambiguous. Timestamps are returned as epoch
+    microseconds (int64) to keep the value-hash type-stable vs DuckDB's
+    native ``ASOF LEFT JOIN``."""
+    from .relational import partitioned_group_agg
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["event_type"].isin(["error", "click"])]
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].astype("int64"),
+                "ts": b["ts"],
+                "side": (b["event_type"] == "click").astype("int8"),
+                "event_id": b["event_id"].astype("int64"),
+                "value": b["value"].astype("float64"),
+            }
+        )
+
+    def asof_part(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["side"] == 0]
+        right = df[df["side"] == 1]
+        left = left.sort_values("ts", kind="mergesort")
+        right = (
+            right.groupby(["user_id", "ts"], as_index=False)["value"]
+            .max()
+            .sort_values("ts", kind="mergesort")
+            .assign(click_ts=lambda r: r["ts"])
+            .rename(columns={"value": "click_value"})
+        )
+        m = pd.merge_asof(
+            left,
+            right,
+            on="ts",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"].astype("int64"),
+                "user_id": m["user_id"].astype("int64"),
+                "ts_us": m["ts"].astype("datetime64[us]").astype("int64"),
+                # no-match sentinel -1 instead of NULL/NaN: the value-hash
+                # comparison is null-representation-sensitive (nullable
+                # Int64 vs DuckDB NULL vs NaN), a sentinel is not
+                "click_ts_us": m["click_ts"]
+                .astype("datetime64[us]")
+                .astype("int64")
+                .where(m["click_ts"].notna(), -1)
+                .astype("int64"),
+                "click_value": m["click_value"].astype("float64").fillna(-1.0),
+            }
+        )
+
+    out = partitioned_group_agg(
+        read_clean(
+            f"{sf_dir}/events.parquet",
+            ["event_id", "ts", "user_id", "event_type", "value"],
+        ).map_batches(tag, batch_format="pandas", batch_size=65536),
+        keys=["user_id"],
+        final=asof_part,
+    ).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
 
 
 def e3_sliding_window(sf_dir: str):

@@ -42,6 +42,8 @@ __all__ = [
     "q9_union_counts",
     "q10_above_avg_customers",
     "q11_value_extremes",
+    "q12_price_quantiles",
+    "q13_customers_without_orders",
 ]
 
 
@@ -421,3 +423,129 @@ def q9_union_counts(sf_dir: str):
     return pd.DataFrame(
         {"event_type": agg["event_type"], "n": agg["n"].astype("int64")}
     )
+
+
+def q12_price_quantiles(sf_dir: str):
+    """EXACT distributed quantiles (p50/p90/p99 of o_totalprice) without a
+    global sort: per-batch partial value-counts collapse the stream to
+    (distinct value, count) rows, a coarse hash-partitioned final sums
+    them, and the quantile is read off the cumulative counts of the SMALL
+    distinct-value table (prices live on a bounded 2-decimal grid, so
+    distinct values ≪ rows — ~10^7 at 100 TB vs ~10^11 rows; a global
+    ``sort()`` of the raw column would shuffle every row for three
+    scalars). Selection rule matches DuckDB ``quantile_disc``: the element
+    at rank ceil(q*n) of the ascending order (verified empirically).
+    Returned values are the ORIGINAL doubles (no lossy re-encode)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("o_totalprice", as_index=False).size()
+        return pd.DataFrame(
+            {"o_totalprice": g["o_totalprice"], "p_n": g["size"].astype("int64")}
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_totalprice", as_index=False)["p_n"].sum()
+        return g.rename(columns={"p_n": "n"})
+
+    counts = partitioned_group_agg(
+        read_clean(f"{sf_dir}/orders.parquet", ["o_totalprice"]).map_batches(
+            partial, batch_format="pandas", batch_size=65536
+        ),
+        keys=["o_totalprice"],
+        final=final,
+    ).to_pandas()
+    counts = counts.sort_values("o_totalprice").reset_index(drop=True)
+    cum = counts["n"].cumsum().to_numpy()
+    total = int(cum[-1])
+    vals = counts["o_totalprice"].to_numpy()
+    import numpy as np
+
+    def q_disc(q: float) -> float:
+        rank = max(1, int(np.ceil(q * total)))
+        return float(vals[int(np.searchsorted(cum, rank, side="left"))])
+
+    return pd.DataFrame(
+        {
+            "p50": [q_disc(0.5)],
+            "p90": [q_disc(0.9)],
+            "p99": [q_disc(0.99)],
+            "n_orders": [total],
+        }
+    )
+
+
+def q13_customers_without_orders(sf_dir: str):
+    """Distributed ANTI-JOIN (customers with no URGENT order — the
+    predicate keeps the result non-trivial on the synthetic tables, where
+    every customer has *some* order) with no broadcast and no driver key
+    set: urgent-order custkeys are partially uniqued per batch (the raw
+    stream is ~orders/customer x the distinct set), then both sides ride
+    one tagged dataset through the coarse hash-partition shuffle — each
+    partition drops its side-0 (customer) rows whose key appears in its
+    side-1 (order key) rows via one vectorized ``isin``. Every row of a
+    key lands in the same partition, so the local anti test is globally
+    correct; state per partition is O(partition keys), never O(table) on
+    any single node."""
+
+    def cust_side(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": batch["c_custkey"].astype("int64"),
+                "side": 0,
+                "c_name": batch["c_name"],
+                "c_acctbal": batch["c_acctbal"].astype("float64"),
+            }
+        )
+
+    def order_side(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch.loc[
+            batch["o_orderpriority"] == "1-URGENT", "o_custkey"
+        ].drop_duplicates()
+        # placeholder payloads (dropped by the anti filter) keep the two
+        # sides schema-identical for the union without nullable dtypes
+        return pd.DataFrame(
+            {
+                "key": k.astype("int64"),
+                "side": 1,
+                "c_name": "",
+                "c_acctbal": 0.0,
+            }
+        )
+
+    cust = read_clean(
+        f"{sf_dir}/customer.parquet", ["c_custkey", "c_name", "c_acctbal"]
+    ).map_batches(cust_side, batch_format="pandas", batch_size=65536)
+    ords = read_clean(
+        f"{sf_dir}/orders.parquet", ["o_custkey", "o_orderpriority"]
+    ).map_batches(order_side, batch_format="pandas", batch_size=65536)
+
+    def anti(df: pd.DataFrame) -> pa.Table:
+        have = df.loc[df["side"] == 1, "key"].unique()
+        keep = df[(df["side"] == 0) & ~df["key"].isin(have)]
+        # explicit Arrow out: a possibly-empty pandas object column trips
+        # Ray's block size estimator (size-0 np.vectorize warning)
+        return pa.table(
+            {
+                "c_custkey": pa.array(
+                    keep["key"].to_numpy(dtype="int64"), pa.int64()
+                ),
+                "c_name": pa.array(keep["c_name"].astype(str), pa.string()),
+                "c_acctbal": pa.array(
+                    keep["c_acctbal"].round(2).to_numpy(dtype="float64"),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    out = partitioned_group_agg(
+        cust.union(ords), keys=["key"], final=anti
+    ).to_pandas()
+    if out.empty:  # every customer has an order (possible at tiny scale)
+        return pd.DataFrame(
+            {
+                "c_custkey": pd.Series([], dtype="int64"),
+                "c_name": pd.Series([], dtype="object"),
+                "c_acctbal": pd.Series([], dtype="float64"),
+            }
+        )
+    return out.sort_values("c_custkey").reset_index(drop=True)
