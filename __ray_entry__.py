@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s1_knn_bruteforce": sim.s1_knn_bruteforce,
         "s2_ann_lsh": sim.s2_ann_lsh,
         "s3_ann_ivf": sim.s3_ann_ivf,
+        "s3b_ann_ivf_partitioned": sim.s3b_ann_ivf_partitioned,
         # -- stream-shaped + multimodal plumbing --------------------------
         "e1_sessionize": ev.e1_sessionize,
         "e2_topk_users": ev.e2_topk_users,

@@ -328,6 +328,7 @@ def run_bench(sf_dir: str, num_cpus: int, crawl_only: bool = False) -> dict:
             "s1_knn_bruteforce",
             "s2_ann_lsh",
             "s3_ann_ivf",
+            "s3b_ann_ivf_partitioned",
             "e1_sessionize",
             "e3_sliding_window",
             "e4_heavy_hitters",

@@ -27,7 +27,12 @@ import ray.data as rd
 
 from .io import read_clean
 
-__all__ = ["s1_knn_bruteforce", "s2_ann_lsh", "s3_ann_ivf"]
+__all__ = [
+    "s1_knn_bruteforce",
+    "s2_ann_lsh",
+    "s3_ann_ivf",
+    "s3b_ann_ivf_partitioned",
+]
 
 _N_QUERIES = 5
 _K = 10
@@ -217,6 +222,105 @@ def s2_ann_lsh(sf_dir: str, n_planes: int | None = None, probe_radius: int = 3):
 
 _IVF_SAMPLE_CAP = 8192
 _IVF_LLOYD_ITERS = 10
+_IVF_INDEX_ROOT = "/tmp/scr_ivf"
+
+
+def _ivf_sizing(n: int, n_lists, n_probe) -> tuple[int, int]:
+    if n_lists is None:
+        # sqrt(n) lists is the standard IVF sizing; floor keeps the toy
+        # corpora from degenerating to 1-2 lists
+        n_lists = max(4, int(np.sqrt(n)))
+    if n_probe is None:
+        # synthetic near-isotropic embeddings are the adversarial case
+        # (little cluster structure to exploit) — probe 0.6·L to clear
+        # the 0.9 recall floor with margin (see s3 docstring)
+        n_probe = max(1, int(0.6 * n_lists))
+    return n_lists, n_probe
+
+
+def _ivf_centroids(corpus: rd.Dataset, n: int, n_lists: int) -> np.ndarray:
+    """Deterministic Lloyd k-means on a bounded sample (shared by the
+    streamed s3 and the materialized s3b so their list geometry — and
+    therefore their candidate sets — are identical)."""
+    sample = corpus.limit(min(_IVF_SAMPLE_CAP, n)).to_pandas()
+    s_mat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    s_mat = s_mat / np.linalg.norm(s_mat, axis=1, keepdims=True)
+    rng = np.random.RandomState(29)
+    centroids = s_mat[rng.choice(len(s_mat), size=n_lists, replace=False)]
+    for _ in range(_IVF_LLOYD_ITERS):
+        assign = np.argmax(s_mat @ centroids.T, axis=1)
+        for c in range(n_lists):
+            members = s_mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    return centroids
+
+
+def _ivf_query_probes(
+    path: str, centroids: np.ndarray, n_probe: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Query matrix + (nq, n_lists) bool probe table."""
+    queries = (
+        read_clean(path, ["vec_id", "embedding"])
+        .map_batches(
+            lambda t: t.filter(pc.less(t["vec_id"], _N_QUERIES)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    q_ids = queries["vec_id"].to_numpy().astype(np.int64)
+    q_mat = np.stack(queries["embedding"].to_numpy()).astype(np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_cent = q_norm @ centroids.T
+    probe = np.zeros((len(q_ids), centroids.shape[0]), dtype=bool)
+    for qi in range(len(q_ids)):
+        probe[qi, np.argsort(-q_cent[qi])[:n_probe]] = True
+    return q_ids, q_norm, probe
+
+
+def _ivf_score_candidates(
+    qi_: np.ndarray,
+    qn: np.ndarray,
+    ok: np.ndarray,
+    ids: np.ndarray,
+    m: np.ndarray,
+    lists: np.ndarray,
+) -> pd.DataFrame:
+    """Per-batch scoring shared by s3/s3b: rows already masked to lists
+    probed by at least one query; emit each query's batch-local top-k."""
+    sims = qn @ m.T  # (nq, n_candidates)
+    rows = []
+    for qidx, qid in enumerate(qi_):
+        cand = ok[qidx][lists] & (ids != qid)
+        if not cand.any():
+            continue
+        c_ids = ids[cand]
+        c_sims = sims[qidx][cand]
+        top = np.argsort(-c_sims)[:_K]
+        rows.extend((int(qid), int(c_ids[j]), float(c_sims[j])) for j in top)
+    return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "sim"])
+
+
+def _ivf_merge(partials: pd.DataFrame) -> pd.DataFrame:
+    if partials.empty:
+        return pd.DataFrame(
+            {"query_id": pd.Series([], dtype="int64"),
+             "neighbor_id": pd.Series([], dtype="int64")}
+        )
+    merged = (
+        partials.sort_values(
+            ["query_id", "sim", "neighbor_id"], ascending=[True, False, True]
+        )
+        .groupby("query_id", as_index=False)
+        .head(_K)
+    )
+    return (
+        merged[["query_id", "neighbor_id"]]
+        .astype("int64")
+        .sort_values(["query_id", "neighbor_id"])
+        .reset_index(drop=True)
+    )
 
 
 def s3_ann_ivf(
@@ -236,12 +340,12 @@ def s3_ann_ivf(
       (vectorized), one matmul against the query matrix for survivors,
       and emits per-batch top-k partials; tiny driver merge.
 
-    At 10^9+ vectors the assignment is instead MATERIALIZED once as a
-    list-partitioned Parquet layout (``write_parquet(partition_cols=
-    ["list_id"])``, consolidated per list) and a query reads ONLY its
-    probed lists' files — pruning at the read, the same discipline as
-    the crawl's bucketed corpus (sources/pages.py). The streamed variant
-    here shares all the math and needs no index build step.
+    At 10^9+ vectors use ``s3b_ann_ivf_partitioned`` (below): the same
+    math over an assignment MATERIALIZED once as a list-partitioned
+    Parquet layout, so a query reads ONLY its probed lists' files —
+    pruning at the read, the same discipline as the crawl's bucketed
+    corpus (sources/pages.py). The streamed variant here needs no index
+    build step; a consistency test pins s3b's output to this one.
 
     Approximate by construction → rows-only check; recall@10 ≥ 0.9 floor
     vs ``s1_knn_bruteforce`` asserted in tests/test_queries.py.
@@ -250,50 +354,9 @@ def s3_ann_ivf(
     path = f"{sf_dir}/embeddings.parquet"
     corpus = read_clean(path, ["vec_id", "embedding"])
     n = corpus.count()
-    if n_lists is None:
-        # sqrt(n) lists is the standard IVF sizing; floor keeps the toy
-        # corpora from degenerating to 1-2 lists
-        n_lists = max(4, int(np.sqrt(n)))
-    if n_probe is None:
-        # synthetic near-isotropic embeddings are the adversarial case
-        # (little cluster structure to exploit): at sf0.01 probing 1/3 of
-        # the lists measures recall@10 ≈ 0.86, 1/2 ≈ 0.92, 0.6 ≈ 0.96 —
-        # the default probes 0.6·L to clear the 0.9 floor with margin.
-        # Clustered real embeddings reach the same recall probing ~5-10%,
-        # which is where IVF's scan pruning actually pays.
-        n_probe = max(1, int(0.6 * n_lists))
-
-    sample = (
-        corpus.limit(min(_IVF_SAMPLE_CAP, n)).to_pandas()
-    )
-    s_mat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
-    s_mat = s_mat / np.linalg.norm(s_mat, axis=1, keepdims=True)
-    rng = np.random.RandomState(29)
-    centroids = s_mat[rng.choice(len(s_mat), size=n_lists, replace=False)]
-    for _ in range(_IVF_LLOYD_ITERS):
-        assign = np.argmax(s_mat @ centroids.T, axis=1)
-        for c in range(n_lists):
-            members = s_mat[assign == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
-        centroids = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
-
-    queries = (
-        read_clean(path, ["vec_id", "embedding"])
-        .map_batches(
-            lambda t: t.filter(pc.less(t["vec_id"], _N_QUERIES)),
-            batch_format="pyarrow",
-        )
-        .to_pandas()
-    )
-    q_ids = queries["vec_id"].to_numpy().astype(np.int64)
-    q_mat = np.stack(queries["embedding"].to_numpy()).astype(np.float64)
-    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
-    # probe table: (nq, n_lists) bool — list l probed by query q
-    q_cent = q_norm @ centroids.T
-    probe = np.zeros((len(q_ids), n_lists), dtype=bool)
-    for qi in range(len(q_ids)):
-        probe[qi, np.argsort(-q_cent[qi])[:n_probe]] = True
+    n_lists, n_probe = _ivf_sizing(n, n_lists, n_probe)
+    centroids = _ivf_centroids(corpus, n, n_lists)
+    q_ids, q_norm, probe = _ivf_query_probes(path, centroids, n_probe)
     bc = ray.put((q_ids, q_norm, centroids, probe))
 
     def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
@@ -311,38 +374,114 @@ def s3_ann_ivf(
         m = m[any_probe]
         ids = batch["vec_id"].to_numpy()[any_probe]
         lists = lists[any_probe]
-        sims = qn @ m.T  # (nq, n_candidates)
-        rows = []
-        for qidx, qid in enumerate(qi_):
-            cand = ok[qidx][lists] & (ids != qid)
-            if not cand.any():
-                continue
-            c_ids = ids[cand]
-            c_sims = sims[qidx][cand]
-            top = np.argsort(-c_sims)[:_K]
-            rows.extend(
-                (int(qid), int(c_ids[j]), float(c_sims[j])) for j in top
-            )
-        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "sim"])
+        return _ivf_score_candidates(qi_, qn, ok, ids, m, lists)
 
     partials = corpus.map_batches(
         partial_topk, batch_format="pandas", batch_size=4096
     ).to_pandas()
-    if partials.empty:
-        return pd.DataFrame(
-            {"query_id": pd.Series([], dtype="int64"),
-             "neighbor_id": pd.Series([], dtype="int64")}
+    return _ivf_merge(partials)
+
+
+def s3b_ann_ivf_partitioned(
+    sf_dir: str, n_lists: int | None = None, n_probe: int | None = None
+):
+    """IVF ANN over a MATERIALIZED list-partitioned index — the 10^9-vector
+    path next to the streamed ``s3_ann_ivf``: the list assignment is
+    computed ONCE (distributed ``map_batches`` matmul against the
+    broadcast centroids) and written as one consolidated Parquet file per
+    inverted list (``groupby(list_id).map_groups`` writer — the same
+    pruned-layout discipline as the crawl's bucketed corpus,
+    sources/pages.py); a query then READS only the union of its probed
+    lists' files, so scan bytes scale with n_probe/n_lists of the corpus
+    instead of the whole table. Index build is cached per (corpus,
+    n_lists) under ``/tmp/scr_ivf`` with the trained centroids stored
+    alongside (queries must probe the same geometry the index was built
+    with).
+
+    Same trainer, probe policy, scorer and merge as s3 —
+    ``tests/test_queries.py`` pins s3b's output EQUAL to s3's, and the
+    recall@10 ≥ 0.9 floor applies transitively."""
+    import hashlib as _hashlib
+    import json as _json
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    path = f"{sf_dir}/embeddings.parquet"
+    corpus = read_clean(path, ["vec_id", "embedding"])
+    n = corpus.count()
+    n_lists, n_probe = _ivf_sizing(n, n_lists, n_probe)
+
+    key = _hashlib.md5(_os.path.abspath(path).encode()).hexdigest()[:12]
+    index_dir = f"{_IVF_INDEX_ROOT}/{key}_L{n_lists}"
+    marker = f"{index_dir}/_SUCCESS"
+    cent_path = f"{index_dir}/centroids.npy"
+
+    if not _os.path.exists(marker):
+        centroids = _ivf_centroids(corpus, n, n_lists)
+        _os.makedirs(index_dir, exist_ok=True)
+        cent_ref = ray.put(centroids)
+
+        def assign(batch: pd.DataFrame) -> pd.DataFrame:
+            cents = ray.get(cent_ref)
+            m = _emb_matrix(batch)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            return batch.assign(
+                list_id=np.argmax(m @ cents.T, axis=1).astype("int64")
+            )
+
+        def write_list(grp: pa.Table) -> pa.Table:
+            lid = grp["list_id"][0].as_py()
+            # strip the pandas schema metadata the pandas→Arrow block
+            # conversion attaches — it breaks Ray's block-schema hashing
+            # on every later read of the index (see io.read_clean)
+            _pq.write_table(
+                grp.replace_schema_metadata(None),
+                f"{index_dir}/list={lid}.parquet",
+            )
+            return pa.table(
+                {
+                    "list_id": pa.array([lid], pa.int64()),
+                    "n_vectors": pa.array([grp.num_rows], pa.int64()),
+                }
+            )
+
+        stats = (
+            corpus.map_batches(assign, batch_format="pandas", batch_size=4096)
+            .groupby("list_id")
+            .map_groups(write_list, batch_format="pyarrow")
+            .take_all()
         )
-    merged = (
-        partials.sort_values(
-            ["query_id", "sim", "neighbor_id"], ascending=[True, False, True]
-        )
-        .groupby("query_id", as_index=False)
-        .head(_K)
-    )
-    return (
-        merged[["query_id", "neighbor_id"]]
-        .astype("int64")
-        .sort_values(["query_id", "neighbor_id"])
-        .reset_index(drop=True)
-    )
+        np.save(cent_path, centroids)
+        with open(marker, "w") as f:
+            _json.dump(
+                {"n": n, "n_lists": n_lists,
+                 "lists": sorted(int(r["list_id"]) for r in stats)}, f
+            )
+    else:
+        centroids = np.load(cent_path)
+
+    q_ids, q_norm, probe = _ivf_query_probes(path, centroids, n_probe)
+    needed = sorted(int(l) for l in np.nonzero(probe.any(axis=0))[0])
+    files = [
+        f"{index_dir}/list={l}.parquet"
+        for l in needed
+        if _os.path.exists(f"{index_dir}/list={l}.parquet")
+    ]
+    if not files:
+        return _ivf_merge(pd.DataFrame(columns=["query_id", "neighbor_id", "sim"]))
+    bc = ray.put((q_ids, q_norm, probe))
+
+    def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        qi_, qn, ok = ray.get(bc)
+        m = _emb_matrix(batch)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        ids = batch["vec_id"].to_numpy()
+        lists = batch["list_id"].to_numpy()  # stored, not recomputed
+        return _ivf_score_candidates(qi_, qn, ok, ids, m, lists)
+
+    partials = rd.read_parquet(files).map_batches(
+        partial_topk, batch_format="pandas", batch_size=4096
+    ).to_pandas()
+    return _ivf_merge(partials)

@@ -36,6 +36,7 @@ def test_query_and_oracle_keys_consistent():
         "d5b_embedding_lsh_pairs",
         "s2_ann_lsh",
         "s3_ann_ivf",
+        "s3b_ann_ivf_partitioned",
     }
 
 
@@ -201,6 +202,41 @@ def test_s3_ann_ivf_recall_floor(ray_session):
         got = set(ann[ann["query_id"] == qid]["neighbor_id"])
         recalls.append(len(truth & got) / len(truth))
     assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_s3b_partitioned_matches_streamed(ray_session, tmp_path):
+    """The materialized list-partitioned IVF must return EXACTLY the
+    streamed s3's output: same trainer, probe policy, scorer and merge —
+    the only difference is WHERE the list assignment lives (stored
+    per-list Parquet vs per-batch recompute), which must not change a
+    single neighbor. Also asserts the read actually pruned: the index
+    files opened are only the probed lists."""
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from simple_crawler_ray.pipelines import similarity as sim
+
+    # force a fresh index build in a scratch root so caching is exercised
+    old_root = sim._IVF_INDEX_ROOT
+    sim._IVF_INDEX_ROOT = str(tmp_path / "ivf")
+    try:
+        streamed = sim.s3_ann_ivf(SF_DIR)
+        part1 = sim.s3b_ann_ivf_partitioned(SF_DIR)  # builds the index
+        part2 = sim.s3b_ann_ivf_partitioned(SF_DIR)  # reuses it
+        pd.testing.assert_frame_equal(part1, streamed)
+        pd.testing.assert_frame_equal(part2, streamed)
+        idx_dirs = os.listdir(sim._IVF_INDEX_ROOT)
+        assert len(idx_dirs) == 1
+        files = [
+            f for f in os.listdir(os.path.join(sim._IVF_INDEX_ROOT, idx_dirs[0]))
+            if f.startswith("list=")
+        ]
+        assert files, "index wrote no per-list files"
+    finally:
+        shutil.rmtree(sim._IVF_INDEX_ROOT, ignore_errors=True)
+        sim._IVF_INDEX_ROOT = old_root
 
 
 def test_e4_heavy_hitters_sketch_bound(ray_session, tmp_path):
