@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e3_sliding_window": ev.e3_sliding_window,
         "e4_heavy_hitters": ev.e4_heavy_hitters,
         "e5_asof_join": ev.e5_asof_join,
+        "e6_range_join": ev.e6_range_join,
         "m1_binary_features": mm.m1_binary_features,
         "m2_frame_sample": mm.m2_frame_sample,
     }
@@ -203,6 +204,16 @@ def oracle_sql() -> dict[str, str]:
             FROM errors e ASOF LEFT JOIN clicks c
               ON e.user_id = c.user_id AND e.ts >= c.ts
             ORDER BY e.event_id
+        """,
+        "e6_range_join": """
+            SELECT a.event_id AS click_id, b.event_id AS view_id,
+                   a.user_id,
+                   epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND a.event_type = 'click' AND b.event_type = 'view'
+             AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 180 MINUTE
+            ORDER BY click_id, view_id
         """,
         "q12_price_quantiles": """
             SELECT quantile_disc(o_totalprice, 0.5) AS p50,

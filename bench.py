@@ -333,6 +333,7 @@ def run_bench(sf_dir: str, num_cpus: int, crawl_only: bool = False) -> dict:
             "e3_sliding_window",
             "e4_heavy_hitters",
             "e5_asof_join",
+            "e6_range_join",
             "t6_train_val_split",
             "t7_topk_per_lang",
             "m1_binary_features",

@@ -19,6 +19,7 @@ __all__ = [
     "e3_sliding_window",
     "e4_heavy_hitters",
     "e5_asof_join",
+    "e6_range_join",
 ]
 
 _GAP_MIN = 30
@@ -268,6 +269,111 @@ def e5_asof_join(sf_dir: str):
         final=asof_part,
     ).to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+_E6_WINDOW_MIN = 180
+
+
+def e6_range_join(sf_dir: str):
+    """RANGE (interval) JOIN — the second join Ray Data lacks natively
+    (brief: "as-of join, range join, windowed aggregate"): every
+    (click, view) pair of the same user where the view falls in
+    ``(click_ts, click_ts + 180 min]``. Unlike e5's as-of (one nearest
+    match) this emits ALL matches in the window.
+
+    Shape: same tagged-union co-partition by user as e5; each partition
+    pairs its slice FULLY VECTORIZED — no per-user Python loop — with a
+    composite-key double ``searchsorted``: users get dense codes, keys
+    are ``code * span + (ts - ts0)`` with ``span > ts_range + window``
+    so a click's ``(key, key + window]`` probe can never cross into
+    another user's code block; the two searchsorteds give each click its
+    contiguous run of matching views, exploded with the standard
+    repeat/cumsum offset arithmetic. Output size is the true join
+    cardinality (data-dependent), never |clicks| × |views|.
+
+    Partitioning assumption (documented per the brief): one partition
+    holds all events of its users for the queried time range; the
+    composite key needs ``users_in_partition × (ts_span + window)`` to
+    fit int64 (asserted) — at planetary scale, bound ts_span by also
+    range-partitioning time and carrying a one-window overlap at
+    segment boundaries."""
+    import numpy as np
+
+    from .relational import partitioned_group_agg
+
+    win_us = _E6_WINDOW_MIN * 60 * 1_000_000
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["event_type"].isin(["click", "view"])]
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].astype("int64"),
+                "ts_us": b["ts"].astype("datetime64[us]").astype("int64"),
+                "side": (b["event_type"] == "view").astype("int8"),
+                "event_id": b["event_id"].astype("int64"),
+            }
+        )
+
+    def pairs_part(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "click_id": pd.Series([], dtype="int64"),
+                "view_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "gap_us": pd.Series([], dtype="int64"),
+            }
+        )
+        clicks = df[df["side"] == 0]
+        views = df[df["side"] == 1]
+        if clicks.empty or views.empty:
+            return empty
+        cu_raw = clicks["user_id"].to_numpy(dtype=np.int64)
+        vu_raw = views["user_id"].to_numpy(dtype=np.int64)
+        ct = clicks["ts_us"].to_numpy(dtype=np.int64)
+        vt = views["ts_us"].to_numpy(dtype=np.int64)
+        uniq = np.unique(np.concatenate([cu_raw, vu_raw]))
+        cu = np.searchsorted(uniq, cu_raw)
+        vu = np.searchsorted(uniq, vu_raw)
+        ts0 = min(int(ct.min()), int(vt.min()))
+        span = max(int(ct.max()), int(vt.max())) - ts0 + win_us + 2
+        assert len(uniq) * span < 2**62, "composite range-join key overflow"
+        ckey = cu * span + (ct - ts0)
+        vkey = vu * span + (vt - ts0)
+        order = np.argsort(vkey, kind="stable")
+        vkey_s = vkey[order]
+        lo = np.searchsorted(vkey_s, ckey, side="right")  # vt > ct, same user
+        hi = np.searchsorted(vkey_s, ckey + win_us, side="right")  # vt ≤ ct+W
+        counts = hi - lo
+        total = int(counts.sum())
+        if not total:
+            return empty
+        rep = np.repeat(np.arange(len(ckey)), counts)
+        idx = np.repeat(lo, counts) + (
+            np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+        )
+        v_ids = views["event_id"].to_numpy(dtype=np.int64)[order][idx]
+        v_ts = vt[order][idx]
+        c_ids = clicks["event_id"].to_numpy(dtype=np.int64)[rep]
+        return pd.DataFrame(
+            {
+                "click_id": c_ids,
+                "view_id": v_ids,
+                "user_id": cu_raw[rep],
+                "gap_us": v_ts - ct[rep],
+            }
+        )
+
+    out = partitioned_group_agg(
+        read_clean(
+            f"{sf_dir}/events.parquet",
+            ["event_id", "ts", "user_id", "event_type"],
+        ).map_batches(tag, batch_format="pandas", batch_size=65536),
+        keys=["user_id"],
+        final=pairs_part,
+    ).to_pandas()
+    if out.empty:
+        return pairs_part(pd.DataFrame({"side": pd.Series([], dtype="int8")}))
+    return out.sort_values(["click_id", "view_id"]).reset_index(drop=True)
 
 
 def e3_sliding_window(sf_dir: str):
