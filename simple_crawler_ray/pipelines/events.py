@@ -102,7 +102,9 @@ def e1_sessionize(sf_dir: str):
     )
 
 
-def e4_heavy_hitters(sf_dir: str, k: int = 10, counters: int = 256):
+def e4_heavy_hitters(
+    sf_dir: str, k: int = 10, counters: int = 256, sketch_batch_rows: int = 65536
+):
     """Top-k most-frequent users via a Misra-Gries heavy-hitters sketch +
     exact recount — the bounded-state frequent-items op (the 'novel
     sketch' family of the brief).
@@ -123,12 +125,15 @@ def e4_heavy_hitters(sf_dir: str, k: int = 10, counters: int = 256):
     enough to survive stage 1 (guaranteed at count > n_events/counters;
     asserted by the oracle gate at both test scales).
 
-    The candidate union is O(batches × counters); at 10^6+ batches the
-    union itself gets big, and the standard fix is hierarchical MG
-    MERGES (pairwise: sum matching counters, then decrement all by the
-    (counters+1)-th largest and drop ≤0) via a tree of ``map_batches``
-    reduction rounds — same guarantee, O(counters) driver state. The
-    flat union here is exact for any survivor set, just not minimal.
+    The raw candidate union is O(batches × counters); at 10^6+ batches
+    the union itself gets big, so the survivors go through HIERARCHICAL
+    MG MERGE rounds (Agarwal et al., "Mergeable Summaries": sum matching
+    counters within a merge batch, then decrement all by the
+    (counters+1)-th largest and drop ≤0 — the merged sketch keeps the
+    single-sketch undercount bound, so global heavy hitters still
+    survive) via ``map_batches`` reduction passes, each collapsing ~256
+    sketches into one — the driver sees O(counters), never O(batches ×
+    counters), candidates.
     """
     import numpy as np
 
@@ -142,14 +147,38 @@ def e4_heavy_hitters(sf_dir: str, k: int = 10, counters: int = 256):
         if len(ids) > counters:
             keep = np.argpartition(cnt, -counters)[-counters:]
             ids, cnt = ids[keep], cnt[keep]
-        return pa.table({"user_id": pa.array(ids.astype("int64"), pa.int64())})
+        return pa.table(
+            {
+                "user_id": pa.array(ids.astype("int64"), pa.int64()),
+                "cnt": pa.array(cnt.astype("int64"), pa.int64()),
+            }
+        )
 
-    candidates = (
-        read_clean(f"{sf_dir}/events.parquet", ["user_id"])
-        .map_batches(mg_sketch, batch_format="pandas", batch_size=65536)
-        .to_pandas()["user_id"]
-        .unique()
+    def mg_merge(batch: pd.DataFrame) -> pd.DataFrame:
+        # MG merge of the sketches sharing this batch: counts are lower
+        # bounds, summing keeps them lower bounds; the decrement spends
+        # the allowed undercount budget to get back under `counters`
+        g = batch.groupby("user_id", as_index=False)["cnt"].sum()
+        if len(g) > counters:
+            kth = np.partition(g["cnt"].to_numpy(), -(counters + 1))[
+                -(counters + 1)
+            ]
+            g = g[g["cnt"] > kth].copy()
+            g["cnt"] = g["cnt"] - kth
+        return g
+
+    cand_ds = read_clean(f"{sf_dir}/events.parquet", ["user_id"]).map_batches(
+        mg_sketch, batch_format="pandas", batch_size=sketch_batch_rows
     )
+    # tree reduction: each pass folds ~256 sketches into one; 3 passes
+    # cover 256^3 ≈ 1.7e7 input batches before the driver collect
+    for _ in range(3):
+        if cand_ds.count() <= 8 * counters:
+            break
+        cand_ds = cand_ds.map_batches(
+            mg_merge, batch_format="pandas", batch_size=counters * 256
+        )
+    candidates = cand_ds.to_pandas()["user_id"].unique()
     import ray
 
     cand_ref = ray.put(set(int(u) for u in candidates))

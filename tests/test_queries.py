@@ -285,6 +285,15 @@ def test_e4_heavy_hitters_sketch_bound(ray_session, tmp_path):
     assert out["user_id"].tolist() == exact["user_id"].tolist()
     assert out["n_events"].tolist() == exact["n"].tolist()
 
+    # force the hierarchical MG-merge rounds to actually execute: tiny
+    # sketch batches × small counter budget → stage-1 survivors (~20
+    # batches × 64) far exceed the 8×counters collect threshold, so the
+    # tree reduction must fold them — and the exact top-k must survive
+    # the merge decrements (the mergeable-summaries bound)
+    out2 = e4_heavy_hitters(str(d), counters=64, sketch_batch_rows=2048)
+    assert out2["user_id"].tolist() == exact["user_id"].tolist()
+    assert out2["n_events"].tolist() == exact["n"].tolist()
+
 
 def test_d5b_recovers_injected_neardups(ray_session):
     """The LSH-bucketed embedding near-dup path must recover the injected
