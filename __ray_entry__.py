@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q11_value_extremes": rel.q11_value_extremes,
         "q12_price_quantiles": rel.q12_price_quantiles,
         "q13_customers_without_orders": rel.q13_customers_without_orders,
+        "q14_grouped_quantiles": rel.q14_grouped_quantiles,
         # -- text analysis -------------------------------------------------
         "t1_token_stats": tx.t1_token_stats,
         "t2_quality_score": tx.t2_quality_score,
@@ -221,6 +222,14 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(o_totalprice, 0.99) AS p99,
                    count(*) AS n_orders
             FROM orders
+        """,
+        "q14_grouped_quantiles": """
+            SELECT o_orderpriority,
+                   quantile_disc(o_totalprice, 0.5) AS p50,
+                   quantile_disc(o_totalprice, 0.9) AS p90,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
         """,
         "q13_customers_without_orders": """
             SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal

@@ -320,6 +320,7 @@ def run_bench(sf_dir: str, num_cpus: int, crawl_only: bool = False) -> dict:
             "q8_hourly_events",
             "q12_price_quantiles",
             "q13_customers_without_orders",
+            "q14_grouped_quantiles",
             "t2_quality_score",
             "d1_exact_dedup",
             "d2_minhash_lsh",

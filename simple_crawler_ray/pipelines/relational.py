@@ -44,6 +44,7 @@ __all__ = [
     "q11_value_extremes",
     "q12_price_quantiles",
     "q13_customers_without_orders",
+    "q14_grouped_quantiles",
 ]
 
 
@@ -549,3 +550,55 @@ def q13_customers_without_orders(sf_dir: str):
             }
         )
     return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def q14_grouped_quantiles(sf_dir: str):
+    """EXACT quantiles PER GROUP (p50/p90 of o_totalprice by order
+    priority) — the grouped form of q12, again with no global sort: the
+    stream collapses to (group, distinct value, count) partials per
+    batch, the coarse hash-partition (keyed on the GROUP, so every row
+    of a group lands together) sums them, and each partition reads its
+    groups' quantiles off cumulative counts fully vectorized
+    (``groupby.cumsum`` + first-hit-at-rank via ``groupby.first`` —
+    no per-group Python loop). Selection rule = DuckDB ``quantile_disc``
+    (rank ceil(q*n), verified in q12)."""
+    import numpy as np
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(
+            ["o_orderpriority", "o_totalprice"], as_index=False
+        ).size()
+        return g.rename(columns={"size": "p_n"})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["o_orderpriority", "o_totalprice"], as_index=False)["p_n"]
+            .sum()
+            .sort_values(["o_orderpriority", "o_totalprice"], kind="mergesort")
+        )
+        g["cum"] = g.groupby("o_orderpriority")["p_n"].cumsum()
+        tot = g.groupby("o_orderpriority")["p_n"].transform("sum")
+        out = g.groupby("o_orderpriority", as_index=False).agg(
+            n_orders=("p_n", "sum")
+        )
+        for q, col in ((0.5, "p50"), (0.9, "p90")):
+            target = np.maximum(1, np.ceil(q * tot.to_numpy()))
+            hit = g[g["cum"].to_numpy() >= target]
+            sel = hit.groupby("o_orderpriority", as_index=False).agg(
+                val=("o_totalprice", "first")
+            )
+            out = out.merge(sel, on="o_orderpriority").rename(
+                columns={"val": col}
+            )
+        return out[["o_orderpriority", "p50", "p90", "n_orders"]].astype(
+            {"n_orders": "int64"}
+        )
+
+    out = partitioned_group_agg(
+        read_clean(
+            f"{sf_dir}/orders.parquet", ["o_orderpriority", "o_totalprice"]
+        ).map_batches(partial, batch_format="pandas", batch_size=65536),
+        keys=["o_orderpriority"],
+        final=final,
+    ).to_pandas()
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
