@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t6_train_val_split": tx.t6_train_val_split,
         "t7_topk_per_lang": tx.t7_topk_per_lang,
         "t8_normalize_text": tx.t8_normalize_text,
+        "t9_term_salience": tx.t9_term_salience,
         # -- dedup family --------------------------------------------------
         "d1_exact_dedup": dd.d1_exact_dedup,
         "d2_minhash_lsh": dd.d2_minhash_lsh,
@@ -317,6 +318,38 @@ def oracle_sql() -> dict[str, str]:
                         '[^\w\s]', '', 'g'), '\s+', ' ', 'g'))) AS BIGINT)
                        AS n_chars
             FROM documents
+        """,
+        "t9_term_salience": r"""
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+                FROM documents WHERE doc_id < 100
+            ),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM words GROUP BY doc_id, term
+            ),
+            df AS (
+                SELECT term, count(*) AS df
+                FROM (SELECT DISTINCT doc_id, term FROM words)
+                GROUP BY term
+            ),
+            ranked AS (
+                SELECT t.doc_id, t.term, t.tf, d.df,
+                       t.tf * 1.0 / d.df AS raw_score,
+                       row_number() OVER (
+                           PARTITION BY t.doc_id
+                           ORDER BY t.tf * 1.0 / d.df DESC, t.term
+                       ) AS rk
+                FROM tf t JOIN df d USING (term)
+            )
+            SELECT doc_id, term,
+                   CAST(tf AS BIGINT) AS tf,
+                   CAST(df AS BIGINT) AS df,
+                   round(raw_score, 6) AS score,
+                   CAST(rk AS BIGINT) AS rank
+            FROM ranked WHERE rk <= 3
+            ORDER BY doc_id, rank
         """,
         "e4_heavy_hitters": """
             SELECT user_id, count(*) AS n_events

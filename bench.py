@@ -337,6 +337,7 @@ def run_bench(sf_dir: str, num_cpus: int, crawl_only: bool = False) -> dict:
             "e6_range_join",
             "t6_train_val_split",
             "t7_topk_per_lang",
+            "t9_term_salience",
             "m1_binary_features",
         ):
             t0 = time.perf_counter()

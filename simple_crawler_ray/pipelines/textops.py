@@ -31,6 +31,7 @@ __all__ = [
     "t6_train_val_split",
     "t7_topk_per_lang",
     "t8_normalize_text",
+    "t9_term_salience",
 ]
 
 # stopword markers per language (tiny n-gram/stopword heuristic; the texts
@@ -305,3 +306,89 @@ def t4_fingerprint(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         fp, batch_format="pyarrow", batch_size=4096
     )
+
+
+def t9_term_salience(sf_dir: str, max_doc_id: int = 100, k: int = 3):
+    """Top-k salient terms per document by tf/df — TF-IDF-shaped term
+    weighting with RATIONAL arithmetic (tf·1/df instead of tf·ln(N/df))
+    so both engines produce bit-identical doubles and the oracle hashes
+    exactly; the distributed shape is what's under test, not the
+    weighting flavor.
+
+    Shape: documents are whole rows, so per-(doc, term) tf finalizes
+    inside one ``map_batches`` explode (Arrow regex split + flatten,
+    vectorized pandas groupby — no cross-batch combine needed);
+    document frequency is a ``partitioned_group_agg`` keyed on the term
+    (high-cardinality key, constant partition count); the df map rides
+    back via ``ray.put`` (bounded-subset oracle op like d4 — the
+    unbounded-vocabulary path co-partitions tf rows and df rows by term,
+    the q13 tagged-union shape); per-doc ranking is one vectorized pass
+    per doc partition."""
+    import numpy as np
+
+    import ray
+
+    from .relational import partitioned_group_agg
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], max_doc_id)),
+        batch_format="pyarrow",
+    )
+
+    def explode_tf(batch: pa.Table) -> pd.DataFrame:
+        trimmed = pc.utf8_trim_whitespace(batch["text"])
+        terms = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        lens = (
+            pc.list_value_length(terms)
+            .to_numpy(zero_copy_only=False)
+            .astype("int64")
+        )
+        doc_rep = np.repeat(
+            batch["doc_id"].to_numpy(zero_copy_only=False).astype("int64"), lens
+        )
+        flat = pc.list_flatten(terms)
+        flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+        g = (
+            pd.DataFrame({"doc_id": doc_rep, "term": flat.to_pandas()})
+            .groupby(["doc_id", "term"], as_index=False)
+            .size()
+        )
+        return g.rename(columns={"size": "tf"})
+
+    tf_ds = docs.map_batches(
+        explode_tf, batch_format="pyarrow", batch_size=4096
+    ).materialize()
+
+    df_tab = partitioned_group_agg(
+        tf_ds,
+        keys=["term"],
+        final=lambda d: d.groupby("term", as_index=False).agg(
+            df=("tf", "size")  # tf rows are unique per (doc, term)
+        ),
+    ).to_pandas()
+    df_ref = ray.put(dict(zip(df_tab["term"], df_tab["df"].astype(int))))
+
+    def topk_part(d: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(df_ref)
+        d = d.assign(df=d["term"].map(m).astype("int64"))
+        d = d.assign(score=d["tf"] / d["df"])
+        d = d.sort_values(
+            ["doc_id", "score", "term"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        d["rank"] = d.groupby("doc_id").cumcount() + 1
+        d = d[d["rank"] <= k]
+        return pd.DataFrame(
+            {
+                "doc_id": d["doc_id"].astype("int64"),
+                "term": d["term"],
+                "tf": d["tf"].astype("int64"),
+                "df": d["df"].astype("int64"),
+                "score": d["score"].round(6),
+                "rank": d["rank"].astype("int64"),
+            }
+        )
+
+    out = partitioned_group_agg(tf_ds, keys=["doc_id"], final=topk_part).to_pandas()
+    return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
