@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q12_price_quantiles": rel.q12_price_quantiles,
         "q13_customers_without_orders": rel.q13_customers_without_orders,
         "q14_grouped_quantiles": rel.q14_grouped_quantiles,
+        "q15_above_customer_avg": rel.q15_above_customer_avg,
         # -- text analysis -------------------------------------------------
         "t1_token_stats": tx.t1_token_stats,
         "t2_quality_score": tx.t2_quality_score,
@@ -223,6 +224,15 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(o_totalprice, 0.99) AS p99,
                    count(*) AS n_orders
             FROM orders
+        """,
+        "q15_above_customer_avg": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders o
+            WHERE o_totalprice > (
+                SELECT avg(o2.o_totalprice) FROM orders o2
+                WHERE o2.o_custkey = o.o_custkey
+            )
+            ORDER BY o_orderkey
         """,
         "q14_grouped_quantiles": """
             SELECT o_orderpriority,

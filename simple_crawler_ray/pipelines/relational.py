@@ -45,6 +45,7 @@ __all__ = [
     "q12_price_quantiles",
     "q13_customers_without_orders",
     "q14_grouped_quantiles",
+    "q15_above_customer_avg",
 ]
 
 
@@ -602,3 +603,35 @@ def q14_grouped_quantiles(sf_dir: str):
         final=final,
     ).to_pandas()
     return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def q15_above_customer_avg(sf_dir: str):
+    """Correlated-subquery filter (orders priced above their OWN
+    customer's average) in ONE hash-partitioned pass — no join, no
+    second scan: partitioning by the correlation key puts every
+    customer's orders in the same partition, where the per-customer mean
+    is a vectorized ``groupby.transform`` and the filter is column math.
+    The SQL form is a correlated scalar subquery (or a self-join +
+    re-join); the dataflow form is just key-partition + local
+    vectorized pass."""
+
+    def final(d: pd.DataFrame) -> pd.DataFrame:
+        avg = d.groupby("o_custkey")["o_totalprice"].transform("mean")
+        keep = d[d["o_totalprice"] > avg]
+        return pd.DataFrame(
+            {
+                "o_orderkey": keep["o_orderkey"].astype("int64"),
+                "o_custkey": keep["o_custkey"].astype("int64"),
+                "o_totalprice": keep["o_totalprice"].astype("float64"),
+            }
+        )
+
+    out = partitioned_group_agg(
+        read_clean(
+            f"{sf_dir}/orders.parquet",
+            ["o_orderkey", "o_custkey", "o_totalprice"],
+        ),
+        keys=["o_custkey"],
+        final=final,
+    ).to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
