@@ -321,6 +321,7 @@ def run_bench(sf_dir: str, num_cpus: int, crawl_only: bool = False) -> dict:
             "q12_price_quantiles",
             "q13_customers_without_orders",
             "q14_grouped_quantiles",
+            "q15_above_customer_avg",
             "t2_quality_score",
             "d1_exact_dedup",
             "d2_minhash_lsh",
