@@ -327,6 +327,7 @@ def run_bench(sf_dir: str, num_cpus: int, crawl_only: bool = False) -> dict:
             "d2_minhash_lsh",
             "d3b_simhash_neardup",
             "d5_embedding_cosine_pairs",
+            "d5b_embedding_lsh_pairs",
             "s1_knn_bruteforce",
             "s2_ann_lsh",
             "s3_ann_ivf",

@@ -127,7 +127,11 @@ def _fast_host_of(url: str) -> str:
     """host_of fast lane: substring parse for plain http(s)://host/...
     URLs (no userinfo/query/fragment oddities in the authority), exact
     urlparse fallback otherwise. Must return EXACTLY host_of's value —
-    shard routing everywhere keys off it (asserted by property test)."""
+    shard routing everywhere keys off it (asserted by property test).
+    urlparse strips tab/CR/LF anywhere in the URL (WHATWG rule) — the
+    substring lane can't, so those fall back too (round-3 ADVICE #2)."""
+    if "\t" in url or "\r" in url or "\n" in url:
+        return host_of(url)
     if url.startswith("https://"):
         rest = url[8:]
     elif url.startswith("http://"):

@@ -138,64 +138,194 @@ def d1_exact_dedup(sf_dir: str):
     from .relational import partitioned_group_agg
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("content_md5", as_index=False).agg(
+        g = df.groupby("content_md5", as_index=False).agg(
             s_min=("p_min", "min"), s_n=("p_n", "sum")
         )
+        return pd.DataFrame(
+            {
+                "content_md5": g["content_md5"],
+                "canonical_doc_id": g["s_min"].astype("int64"),
+                "n_copies": g["s_n"].astype("int64"),
+            }
+        )
 
-    agg = partitioned_group_agg(
+    # returned as the lazy Dataset (round-3 VERDICT #8): the final collect
+    # belongs to the consumer (write_parquet / iter_batches / the driver's
+    # comparison), not the operator — distinct hashes are O(corpus) at
+    # 100 TB and must stream out, never land on the driver here.
+    return partitioned_group_agg(
         docs.union(dupes).map_batches(
             partial_dedup, batch_format="pyarrow", batch_size=4096
         ),
         ["content_md5"],
         final,
-    ).to_pandas()
-    return pd.DataFrame(
-        {
-            "content_md5": agg["content_md5"],
-            "canonical_doc_id": agg["s_min"].astype("int64"),
-            "n_copies": agg["s_n"].astype("int64"),
-        }
     )
 
 
 _EMPTY_PAIRS = {"doc_a": pd.Series([], dtype="int64"),
                 "doc_b": pd.Series([], dtype="int64")}
 
-# Above this candidate-pair count the exact-Jaccard verify switches from
-# the broadcast fast path to the two-hash-join shuffle (dup-heavy corpora
+# Above this candidate-pair count the exact verify switches from the
+# broadcast fast path to the two-hash-join shuffle (dup-heavy corpora
 # where neither pairs nor participants fit a broadcast).
 _D2_JOIN_MIN_PAIRS = 10_000
 
 
-def d2_minhash_lsh(sf_dir: str, threshold: float = 0.5):
-    """MinHash+LSH near-duplicate pairs, fully distributed:
+def _pair_verify(
+    cand: pd.DataFrame,
+    payload_ds,
+    a_col: str,
+    b_col: str,
+    verify_rows,
+    empty: pd.DataFrame,
+    join_min_pairs: int | None = None,
+) -> pd.DataFrame:
+    """Exact verification of LSH candidate pairs against a per-id binary
+    payload table (shingle sets for d2, normalized embeddings for d5b) —
+    the shared sketch-then-verify tail of both near-dup operators.
 
-    1. signatures: per-batch vectorized 128-perm minhash → explode to
-       (band, band_hash, doc_id) rows with a coarse ``part`` key;
-    2. bucket pairing: ``groupby(part).map_groups`` — the coarse key keeps
-       the Ray group count CONSTANT (1024) while the per-partition
-       pandas groupby over (band, band_hash) stays vectorized, avoiding
-       millions of 1-2 row Python groups;
+    ``payload_ds`` must hold (id int64, payload binary) rows for exactly
+    the candidate participants (O(candidates), never the corpus).
+    Two regimes by candidate volume:
+
+    - ≤ ``join_min_pairs``: broadcast the participant payload table once
+      (bounded by 2× pairs rows) and verify in one ``map_batches`` over
+      the pairs — skips the two shuffle joins' executor/actor-pool
+      spin-up (~2 s fixed);
+    - above: TWO HASH JOINS (pairs ⋈ payload on each side, per-pair math
+      inside ``map_batches``) — no driver dict, no driver pair loop; the
+      verify scales with cluster width even on dup-heavy corpora where
+      candidate pairs explode. Wrapped in ``retry_join_flake``.
+
+    ``verify_rows(a_ids, b_ids, payload_a, payload_b)`` returns the
+    surviving rows (may add score columns); output is sorted on
+    (a_col, b_col).
+    """
+    import pyarrow as _pa
+
+    import ray as _ray
+
+    if cand.empty:
+        return empty
+
+    # read the module global at call time (not a def-time default) so the
+    # strategy-parity tests can force the join path by monkeypatching it
+    if join_min_pairs is None:
+        join_min_pairs = _D2_JOIN_MIN_PAIRS
+
+    if len(cand) <= join_min_pairs:
+        tbl = _pa.concat_tables(_ray.get(payload_ds.to_arrow_refs()))
+        pay_ref = _ray.put(tbl)
+
+        def verify_broadcast(batch: pd.DataFrame, pay=pay_ref) -> pd.DataFrame:
+            t = _ray.get(pay) if isinstance(pay, _ray.ObjectRef) else pay
+            m = dict(zip(t["id"].to_pylist(), t["payload"].to_pylist()))
+            return verify_rows(
+                batch[a_col],
+                batch[b_col],
+                [m[int(a)] for a in batch[a_col]],
+                [m[int(b)] for b in batch[b_col]],
+            )
+
+        cand_ds = rd.from_pandas(cand[[a_col, b_col]].astype("int64"))
+        out = cand_ds.map_batches(verify_broadcast, batch_format="pandas").to_pandas()
+    else:
+        pay_mat = payload_ds.materialize()
+
+        def verify(batch: pd.DataFrame) -> pd.DataFrame:
+            return verify_rows(
+                batch[a_col], batch[b_col], batch["payload_a"], batch["payload_b"]
+            )
+
+        def run_join_verify() -> pd.DataFrame:
+            amap = pay_mat.map_batches(
+                lambda b: _pa.table({a_col: b["id"], "payload_a": b["payload"]}),
+                batch_format="pyarrow",
+            )
+            bmap = pay_mat.map_batches(
+                lambda b: _pa.table({b_col: b["id"], "payload_b": b["payload"]}),
+                batch_format="pyarrow",
+            )
+            cand_ds = rd.from_arrow(
+                _pa.table(
+                    {
+                        a_col: _pa.array(cand[a_col].astype("int64"), _pa.int64()),
+                        b_col: _pa.array(cand[b_col].astype("int64"), _pa.int64()),
+                    }
+                )
+            )
+            nparts = max(8, len(cand) // 500_000)
+            joined = cand_ds.join(
+                amap, "inner", num_partitions=nparts, on=(a_col,)
+            ).join(bmap, "inner", num_partitions=nparts, on=(b_col,))
+            return joined.map_batches(verify, batch_format="pandas").to_pandas()
+
+        out = retry_join_flake(run_join_verify)
+
+    if out.empty:
+        return empty
+    return out.sort_values([a_col, b_col]).reset_index(drop=True)
+
+
+def d2_minhash_lsh(sf_dir: str, threshold: float = 0.5):
+    """MinHash+LSH near-duplicate pairs, fully distributed, with the
+    corpus shingled EXACTLY ONCE (round-3 VERDICT #2 — the signature and
+    verify passes used to re-shingle independently):
+
+    1. prep: one ``map_batches`` pass computes each document's shingle
+       set (stored as sorted-unique int64 bytes) and its 128-perm minhash
+       signature (bytes) — materialized so both downstream consumers read
+       blocks instead of re-running the expensive shingling. Object-store
+       residency is O(corpus tokens), spillable.
+    2. bands: derive (band, band_hash, doc_id) rows from the STORED
+       signatures with a coarse ``part`` key; ``groupby(part).map_groups``
+       keeps the Ray group count CONSTANT (1024) while per-partition
+       bucket pairing stays vectorized.
     3. pair dedup: coarse-hash-partitioned shuffle with per-partition
-       ``drop_duplicates`` (the same pair fires in every shared band);
-    4. exact-Jaccard verify: participant shingle sets are extracted
-       DISTRIBUTED (map_batches over the corpus filtered to the candidate
-       ids — O(candidates) leaves the cluster, never a text dict of the
-       whole corpus). With dup-heavy corpora where candidate pairs
-       themselves explode, step 4 becomes the two-hash-join variant
-       (join pairs→texts on each side, per-row Jaccard in map_batches).
+       ``drop_duplicates`` (the same pair fires in every shared band).
+    4. exact-Jaccard verify over the STORED shingle bytes via
+       ``_pair_verify`` (broadcast fast path / two-hash-join scale path).
 
     Approximate by construction (LSH recall < 1 below ~J=0.8), so this op
     is checked rows-only; the exact-pair operator with a DuckDB oracle is
     ``d4_ngram_jaccard_pairs``.
     """
+    import pyarrow as _pa
+
+    import ray as _ray
 
     docs = read_clean(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
 
+    def prep(batch: pd.DataFrame) -> pa.Table:
+        ids, shs, sigs = [], [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            sset = word_shingles(text)
+            sig = minhash_signature(sset)
+            ids.append(int(doc_id))
+            shs.append(
+                np.unique(
+                    np.fromiter(sset, dtype=np.int64, count=len(sset))
+                ).tobytes()
+                if sset
+                else b""
+            )
+            sigs.append(sig.tobytes())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "sh": pa.array(shs, pa.binary()),
+                "sig": pa.array(sigs, pa.binary()),
+            }
+        )
+
+    prep_ds = docs.map_batches(
+        prep, batch_format="pandas", batch_size=1024
+    ).materialize()
+
     def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for doc_id, text in zip(batch["doc_id"], batch["text"]):
-            sig = minhash_signature(word_shingles(text))
+        for doc_id, sigb in zip(batch["doc_id"], batch["sig"]):
+            sig = np.frombuffer(sigb, dtype=np.uint64)
             for band in range(_BANDS):
                 chunk = sig[band * _ROWS : (band + 1) * _ROWS]
                 bh = hashlib.sha1(chunk.tobytes() + bytes([band])).hexdigest()[:16]
@@ -218,7 +348,7 @@ def d2_minhash_lsh(sf_dir: str, threshold: float = 0.5):
     from .relational import partitioned_group_agg
 
     cand = partitioned_group_agg(
-        docs.map_batches(to_bands, batch_format="pandas", batch_size=1024)
+        prep_ds.map_batches(to_bands, batch_format="pandas", batch_size=1024)
         .groupby("part")
         .map_groups(emit_pairs, batch_format="pandas"),
         ["doc_a", "doc_b"],
@@ -228,46 +358,18 @@ def d2_minhash_lsh(sf_dir: str, threshold: float = 0.5):
     if cand.empty:
         return pd.DataFrame(_EMPTY_PAIRS)
 
-    # exact-Jaccard verify as TWO HASH JOINS (round-2 VERDICT item #4):
-    # shingle sets for the candidate participants are extracted
-    # distributed (sorted-unique int64 arrays, shipped as binary — Acero
-    # rejects list payloads), the pairs table joins a-side then b-side,
-    # and the per-pair Jaccard runs inside map_batches. No driver dict of
-    # shingle sets, no driver pair loop — the verify scales with cluster
-    # width even on dup-heavy corpora where candidate pairs explode.
-    import pyarrow as _pa
-
-    import ray as _ray
-
     ids_ref = _ray.put(
         set(cand["doc_a"].tolist()) | set(cand["doc_b"].tolist())
     )
 
-    def participant_shingles(batch: pd.DataFrame, ids=ids_ref) -> pd.DataFrame:
+    def participant_payload(batch: pa.Table, ids=ids_ref) -> pa.Table:
         wanted = _ray.get(ids) if isinstance(ids, _ray.ObjectRef) else ids
-        batch = batch[batch["doc_id"].isin(wanted)]
-        return pd.DataFrame(
-            {
-                "doc_id": batch["doc_id"].astype("int64"),
-                "sh": [
-                    np.unique(
-                        np.fromiter(word_shingles(t), dtype=np.int64)
-                    ).tobytes()
-                    for t in batch["text"]
-                ],
-            }
-        )
+        mask = pa.array([int(d) in wanted for d in batch["doc_id"].to_pylist()])
+        t = batch.filter(mask)
+        return pa.table({"id": t["doc_id"], "payload": t["sh"]})
 
-    sh_ds = (
-        docs.map_batches(participant_shingles, batch_format="pandas", batch_size=1024)
-        # clean pyarrow projection: strips pandas schema metadata that
-        # breaks the hash-shuffle join's schema alignment
-        .map_batches(
-            lambda b: _pa.table(
-                {"doc_id": b["doc_id"], "sh": b["sh"].cast(_pa.binary())}
-            ),
-            batch_format="pyarrow",
-        )
+    payload_ds = prep_ds.map_batches(
+        participant_payload, batch_format="pyarrow"
     )
 
     def verify_rows(doc_a, doc_b, sh_a, sh_b):
@@ -287,65 +389,10 @@ def d2_minhash_lsh(sf_dir: str, threshold: float = 0.5):
             }
         )
 
-    if len(cand) <= _D2_JOIN_MIN_PAIRS:
-        # small candidate set (the common non-dup-heavy case): broadcast
-        # the participant shingle table once (bounded by 2x pairs rows)
-        # and verify in one map_batches over the pairs — skips the two
-        # shuffle joins' executor+actor-pool spin-up (~2 s fixed). The
-        # driver transits only the bounded participant table, never a
-        # per-pair loop.
-        sh_ref = _ray.put(_pa.concat_tables(_ray.get(sh_ds.to_arrow_refs())))
-
-        def verify_broadcast(batch: pd.DataFrame, sh=sh_ref) -> pd.DataFrame:
-            t = _ray.get(sh) if isinstance(sh, _ray.ObjectRef) else sh
-            m = dict(zip(t["doc_id"].to_pylist(), t["sh"].to_pylist()))
-            return verify_rows(
-                batch["doc_a"],
-                batch["doc_b"],
-                [m[int(a)] for a in batch["doc_a"]],
-                [m[int(b)] for b in batch["doc_b"]],
-            )
-
-        cand_ds = rd.from_pandas(cand[["doc_a", "doc_b"]].astype("int64"))
-        out = cand_ds.map_batches(verify_broadcast, batch_format="pandas").to_pandas()
-        if out.empty:
-            return pd.DataFrame(_EMPTY_PAIRS)
-        return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
-
-    sh_mat = sh_ds.materialize()
-
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        return verify_rows(
-            batch["doc_a"], batch["doc_b"], batch["sh_a"], batch["sh_b"]
-        )
-
-    def run_join_verify() -> pd.DataFrame:
-        amap = sh_mat.map_batches(
-            lambda b: _pa.table({"doc_a": b["doc_id"], "sh_a": b["sh"]}),
-            batch_format="pyarrow",
-        )
-        bmap = sh_mat.map_batches(
-            lambda b: _pa.table({"doc_b": b["doc_id"], "sh_b": b["sh"]}),
-            batch_format="pyarrow",
-        )
-        cand_ds = rd.from_arrow(
-            _pa.table(
-                {
-                    "doc_a": _pa.array(cand["doc_a"].astype("int64"), _pa.int64()),
-                    "doc_b": _pa.array(cand["doc_b"].astype("int64"), _pa.int64()),
-                }
-            )
-        )
-        nparts = max(8, len(cand) // 500_000)
-        joined = cand_ds.join(
-            amap, "inner", num_partitions=nparts, on=("doc_a",)
-        ).join(bmap, "inner", num_partitions=nparts, on=("doc_b",))
-        return joined.map_batches(verify, batch_format="pandas").to_pandas()
-
-    out = retry_join_flake(run_join_verify)
-    if out.empty:
-        return pd.DataFrame(_EMPTY_PAIRS)
-    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return _pair_verify(
+        cand, payload_ds, "doc_a", "doc_b", verify_rows,
+        pd.DataFrame(_EMPTY_PAIRS),
+    )
 
 
 # worker-persistent token→hash memo (corpus vocabulary repeats heavily;
@@ -655,21 +702,27 @@ def d5b_embedding_lsh_pairs(sf_dir: str, threshold: float = 0.85):
     the LSH-bucketed scale path whose exact bounded counterpart is
     ``d5_embedding_cosine_pairs`` (the relationship d2 has to d4).
 
-    Shape (all stages streamed/partitioned, no broadcast of the corpus):
-    1. signature ``map_batches``: L2-normalize, one matmul against the
-       deterministic hyperplane matrix → 16 bands × 8 sign bits; emit
-       (band, band_val, vec_id, normalized embedding) rows. Band rows
-       carry the vector (×16 fan-out) so the verify needs no second pass
-       over the corpus; for fatter embeddings swap to the d2 shape —
-       pair on ids only, then two hash joins pull the vectors.
-    2. bucket pairing via the coarse-partition shuffle
-       (``partitioned_group_agg`` keys): within each (band, band_val)
-       bucket one matmul scores all pairs, EXACT cosine ≥ threshold
-       filter (so false positives are impossible; only recall is
-       approximate — sign-bit collision probability (1-θ/π)^8 per band,
+    Shape (all stages streamed/partitioned, no broadcast of the corpus,
+    and — round-3 VERDICT #1 — no whole-dataset-in-one-group stage and
+    no ×16 embedding fan-out through the shuffle):
+    1. prep ``map_batches``: inject + L2-normalize once; emit
+       (vec_id, normalized-embedding bytes), MATERIALIZED — the one
+       O(corpus) intermediate, spillable object-store blocks.
+    2. bands: one matmul against the deterministic hyperplane matrix →
+       16 bands × 8 sign bits; emit ONLY (band, band_val, vec_id, part)
+       rows — ids, no vectors — with the coarse
+       ``part = (band_val*16 + band) % 1024`` key (exactly d3b's
+       discipline, dedup.py d3b ``to_bands``), so bucket pairing runs
+       over a CONSTANT 1024 Ray groups, never 16 groups of O(corpus).
+    3. bucket pairing per coarse partition: vectorized per-(band,
+       band_val) candidate id-pair emission; pair-dedup via the
+       coarse-partitioned shuffle.
+    4. EXACT cosine verify via ``_pair_verify`` (shared with d2):
+       participant vectors are pulled from the prep blocks —
+       broadcast-table fast path ≤10k pairs, two-hash-join scale path
+       above — so false positives are impossible; only recall is
+       approximate (sign-bit collision probability (1-θ/π)^8 per band,
        16 bands ≈ 0.98 recall at cosine 0.85).
-    3. pair-dedup: coarse-partitioned min over (a, b) duplicates from
-       multi-band collisions.
 
     The synthetic embeddings are near-isotropic (max natural cosine
     ≈ 0.46), so — like d3b — the op injects perturbed copies of the
@@ -701,21 +754,41 @@ def d5b_embedding_lsh_pairs(sf_dir: str, threshold: float = 0.85):
             [batch[["vec_id", "embedding"]], dup], ignore_index=True
         )
 
-    def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
+    def prep(batch: pd.DataFrame) -> pa.Table:
+        batch = inject(batch)
         m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
         m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return pa.table(
+            {
+                "vec_id": pa.array(
+                    batch["vec_id"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "emb": pa.array([row.tobytes() for row in m], pa.binary()),
+            }
+        )
+
+    prep_ds = (
+        read_clean(path, ["vec_id", "embedding"])
+        .map_batches(prep, batch_format="pandas", batch_size=4096)
+        .materialize()
+    )
+
+    def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack([np.frombuffer(b, dtype=np.float64) for b in batch["emb"]])
         bits = (m @ _d5b_hyperplanes(m.shape[1])) > 0  # (n, B*r)
         vals = np.packbits(
             bits.reshape(len(m), _D5B_BANDS, _D5B_BITS_PER_BAND), axis=2
         ).reshape(len(m), _D5B_BANDS).astype(np.int64)
         ids = batch["vec_id"].to_numpy().astype(np.int64)
         n = len(ids)
+        band = np.tile(np.arange(_D5B_BANDS, dtype=np.int64), n)
+        band_val = vals.reshape(-1)
         return pd.DataFrame(
             {
-                "band": np.tile(np.arange(_D5B_BANDS, dtype=np.int64), n),
-                "band_val": vals.reshape(-1),
+                "band": band,
+                "band_val": band_val,
                 "vec_id": np.repeat(ids, _D5B_BANDS),
-                "emb": list(np.repeat(m, _D5B_BANDS, axis=0)),
+                "part": (band_val * _D5B_BANDS + band) % 1024,
             }
         )
 
@@ -726,6 +799,12 @@ def d5b_embedding_lsh_pairs(sf_dir: str, threshold: float = 0.85):
             "cosine": pd.Series([], dtype="float64"),
         }
     )
+    _empty_ids = pd.DataFrame(
+        {
+            "vec_id_a": pd.Series([], dtype="int64"),
+            "vec_id_b": pd.Series([], dtype="int64"),
+        }
+    )
 
     def emit_pairs(grp: pd.DataFrame) -> pd.DataFrame:
         frames = []
@@ -733,47 +812,58 @@ def d5b_embedding_lsh_pairs(sf_dir: str, threshold: float = 0.85):
             n = len(bucket)
             if n < 2:
                 continue
-            ids = bucket["vec_id"].to_numpy(np.int64)
-            m = np.stack(bucket["emb"].to_numpy())
-            order = np.argsort(ids, kind="stable")
-            ids, m = ids[order], m[order]
-            sims = m @ m.T
+            ids = np.sort(bucket["vec_id"].to_numpy(np.int64))
             i, j = np.triu_indices(n, k=1)
-            keep = sims[i, j] >= threshold
-            if keep.any():
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "vec_id_a": ids[i][keep],
-                            "vec_id_b": ids[j][keep],
-                            "cosine": np.round(sims[i, j][keep], 6),
-                        }
-                    )
-                )
+            frames.append(
+                pd.DataFrame({"vec_id_a": ids[i], "vec_id_b": ids[j]})
+            )
         if not frames:
-            return _empty
-        return pd.concat(frames, ignore_index=True).drop_duplicates(
-            ["vec_id_a", "vec_id_b"]
-        )
+            return _empty_ids
+        return pd.concat(frames, ignore_index=True).drop_duplicates()
 
     from .relational import partitioned_group_agg
 
-    pairs = partitioned_group_agg(
-        read_clean(path, ["vec_id", "embedding"])
-        .map_batches(inject, batch_format="pandas", batch_size=4096)
-        .map_batches(to_bands, batch_format="pandas", batch_size=4096)
-        .groupby("band")
+    cand = partitioned_group_agg(
+        prep_ds.map_batches(to_bands, batch_format="pandas", batch_size=4096)
+        .groupby("part")
         .map_groups(emit_pairs, batch_format="pandas"),
         ["vec_id_a", "vec_id_b"],
-        lambda df: df.groupby(["vec_id_a", "vec_id_b"], as_index=False).agg(
-            cosine=("cosine", "min")
-        ),
+        lambda df: df.drop_duplicates(["vec_id_a", "vec_id_b"]),
         num_parts=32,
     ).to_pandas()
-    if pairs.empty:
+    if cand.empty:
         return _empty
-    return (
-        pairs.astype({"vec_id_a": "int64", "vec_id_b": "int64"})
-        .sort_values(["vec_id_a", "vec_id_b"])
-        .reset_index(drop=True)
+
+    ids_ref = _ray.put(
+        set(cand["vec_id_a"].tolist()) | set(cand["vec_id_b"].tolist())
+    )
+
+    def participant_payload(batch: pa.Table, ids=ids_ref) -> pa.Table:
+        wanted = _ray.get(ids) if isinstance(ids, _ray.ObjectRef) else ids
+        mask = pa.array([int(v) in wanted for v in batch["vec_id"].to_pylist()])
+        t = batch.filter(mask)
+        return pa.table({"id": t["vec_id"], "payload": t["emb"]})
+
+    payload_ds = prep_ds.map_batches(participant_payload, batch_format="pyarrow")
+
+    def verify_rows(a_ids, b_ids, emb_a, emb_b):
+        ka, kb, cs = [], [], []
+        for a, b, ba, bb in zip(a_ids, b_ids, emb_a, emb_b):
+            va = np.frombuffer(ba, dtype=np.float64)
+            vb = np.frombuffer(bb, dtype=np.float64)
+            c = float(va @ vb)
+            if c >= threshold:
+                ka.append(int(a))
+                kb.append(int(b))
+                cs.append(round(c, 6))
+        return pd.DataFrame(
+            {
+                "vec_id_a": pd.Series(ka, dtype="int64"),
+                "vec_id_b": pd.Series(kb, dtype="int64"),
+                "cosine": pd.Series(cs, dtype="float64"),
+            }
+        )
+
+    return _pair_verify(
+        cand, payload_ds, "vec_id_a", "vec_id_b", verify_rows, _empty
     )

@@ -167,8 +167,13 @@ def e4_heavy_hitters(
             g["cnt"] = g["cnt"] - kth
         return g
 
-    cand_ds = read_clean(f"{sf_dir}/events.parquet", ["user_id"]).map_batches(
-        mg_sketch, batch_format="pandas", batch_size=sketch_batch_rows
+    # the sketch output is materialized so the merge loop's count() and
+    # each merge pass consume computed blocks instead of re-executing the
+    # full read+sketch lineage per pass (round-3 VERDICT #5 / ADVICE #3)
+    cand_ds = (
+        read_clean(f"{sf_dir}/events.parquet", ["user_id"])
+        .map_batches(mg_sketch, batch_format="pandas", batch_size=sketch_batch_rows)
+        .materialize()
     )
     # tree reduction: each pass folds ~256 sketches into one; 3 passes
     # cover 256^3 ≈ 1.7e7 input batches before the driver collect
@@ -177,7 +182,7 @@ def e4_heavy_hitters(
             break
         cand_ds = cand_ds.map_batches(
             mg_merge, batch_format="pandas", batch_size=counters * 256
-        )
+        ).materialize()
     candidates = cand_ds.to_pandas()["user_id"].unique()
     import ray
 

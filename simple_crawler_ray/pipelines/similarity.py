@@ -36,6 +36,9 @@ __all__ = [
 
 _N_QUERIES = 5
 _K = 10
+# above this, s2's per-query probe lookup switches from a dense
+# 2^n_planes bool row to sorted probe-code arrays (np.isin membership)
+_S2_DENSE_MAX_PLANES = 20
 
 
 def _emb_matrix(batch: pd.DataFrame) -> np.ndarray:
@@ -143,8 +146,13 @@ def s2_ann_lsh(sf_dir: str, n_planes: int | None = None, probe_radius: int = 3):
     rng = np.random.RandomState(13)
     planes = rng.randn(n_planes, dim)
 
-    # query codes + probe masks (one bool lookup row of size 2^planes per
-    # query — tiny; at large n_planes this becomes a hash set per query)
+    # query codes + probe masks. Two representations (round-3 VERDICT #7):
+    # - n_planes ≤ _S2_DENSE_MAX_PLANES: one bool lookup row of size
+    #   2^n_planes per query (O(1) probe test per corpus row);
+    # - above: the dense table is 2^n_planes bytes/query (16 MB/query at
+    #   the n_planes≈24 a 10^9-vector corpus needs), so each query ships
+    #   only its SORTED probe-code array (|flips| ≈ 2.3k codes at radius
+    #   3) plus one union array — membership via vectorized np.isin.
     queries = (
         read_clean(path, ["vec_id", "embedding"])
         .map_batches(
@@ -162,17 +170,26 @@ def s2_ann_lsh(sf_dir: str, n_planes: int | None = None, probe_radius: int = 3):
         for r in range(1, probe_radius + 1)
         for combo in combinations(range(n_planes), r)
     ]
-    probe_ok = np.zeros((len(q_ids), 1 << n_planes), dtype=bool)
-    for qi, qc in enumerate(q_codes):
-        for f in flips:
-            probe_ok[qi, int(qc) ^ f] = True
+    if n_planes <= _S2_DENSE_MAX_PLANES:
+        probe_ok = np.zeros((len(q_ids), 1 << n_planes), dtype=bool)
+        for qi, qc in enumerate(q_codes):
+            for f in flips:
+                probe_ok[qi, int(qc) ^ f] = True
+    else:
+        flips_arr = np.asarray(flips, dtype=np.int64)
+        per_q = [np.sort(np.int64(qc) ^ flips_arr) for qc in q_codes]
+        probe_ok = ("sets", per_q, np.unique(np.concatenate(per_q)))
     bc = ray.put((q_ids, q_norm, planes, probe_ok))
 
     def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
         qi_, qn, pl, ok = ray.get(bc)
+        sets_mode = isinstance(ok, tuple)
         m = _emb_matrix(batch)
         codes = ((m @ pl.T) > 0) @ (1 << np.arange(pl.shape[0]))
-        any_probe = ok.any(axis=0)[codes]
+        if sets_mode:
+            any_probe = np.isin(codes, ok[2])
+        else:
+            any_probe = ok.any(axis=0)[codes]
         if not any_probe.any():
             return pd.DataFrame(
                 {"query_id": pd.Series([], dtype="int64"),
@@ -186,7 +203,10 @@ def s2_ann_lsh(sf_dir: str, n_planes: int | None = None, probe_radius: int = 3):
         sims = qn @ m.T  # (nq, n_candidates)
         rows = []
         for qidx, qid in enumerate(qi_):
-            cand = ok[qidx][codes] & (ids != qid)
+            if sets_mode:
+                cand = np.isin(codes, ok[1][qidx]) & (ids != qid)
+            else:
+                cand = ok[qidx][codes] & (ids != qid)
             if not cand.any():
                 continue
             c_ids = ids[cand]
@@ -413,7 +433,14 @@ def s3b_ann_ivf_partitioned(
     n = corpus.count()
     n_lists, n_probe = _ivf_sizing(n, n_lists, n_probe)
 
-    key = _hashlib.md5(_os.path.abspath(path).encode()).hexdigest()[:12]
+    # cache key folds the corpus file's (mtime_ns, size) so a regenerated
+    # embeddings.parquet at the same path invalidates the index instead of
+    # silently probing stale centroids/lists (round-3 ADVICE #1 — the same
+    # invalidation discipline as _PF_CACHE in sources/pages.py)
+    st = _os.stat(path)
+    key = _hashlib.md5(
+        f"{_os.path.abspath(path)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
     index_dir = f"{_IVF_INDEX_ROOT}/{key}_L{n_lists}"
     marker = f"{index_dir}/_SUCCESS"
     cent_path = f"{index_dir}/centroids.npy"

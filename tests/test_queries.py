@@ -307,3 +307,34 @@ def test_d5b_recovers_injected_neardups(ray_session):
     expected = {(i, 1_000_000 + i) for i in range(_D5B_INJECT)}
     recovered = len(expected & got) / len(expected)
     assert recovered >= 0.9, (recovered, sorted(got)[:10])
+
+
+def test_d5b_join_and_broadcast_verify_agree(ray_session, monkeypatch):
+    """d5b's shared verify (``_pair_verify``) must return identical pairs
+    through the broadcast fast path and the two-hash-join scale path."""
+    from simple_crawler_ray.pipelines import dedup
+
+    broadcast = dedup.d5b_embedding_lsh_pairs(SF_DIR)
+    monkeypatch.setattr(dedup, "_D2_JOIN_MIN_PAIRS", -1)
+    joined = dedup.d5b_embedding_lsh_pairs(SF_DIR)
+    assert broadcast.values.tolist() == joined.values.tolist()
+    assert len(broadcast) > 0
+
+
+def test_s2_hash_set_probes_match_dense(ray_session, monkeypatch):
+    """The hash-set probe representation (large-n_planes path) must give
+    exactly the dense bool-table answer at the same n_planes, and must
+    run at the n_planes≈24 scale the dense table can't afford."""
+    from simple_crawler_ray.pipelines import similarity
+
+    dense = similarity.s2_ann_lsh(SF_DIR)
+    monkeypatch.setattr(similarity, "_S2_DENSE_MAX_PLANES", 0)
+    sets = similarity.s2_ann_lsh(SF_DIR)
+    assert dense.values.tolist() == sets.values.tolist()
+    assert len(dense) > 0
+
+    # set path at n_planes=24: a 2^24-entry bool row per query would be
+    # 16 MB/query; the probe arrays are ~2.3k codes. Smoke + shape only —
+    # 24 planes over a toy corpus legitimately prunes recall.
+    big = similarity.s2_ann_lsh(SF_DIR, n_planes=24)
+    assert list(big.columns) == ["query_id", "neighbor_id"]

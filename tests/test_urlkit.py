@@ -88,6 +88,12 @@ def test_shard_of_batch_matches_scalar():
         "ftp://host5.example/y",
         "https://host0.example/p2?a=b",
         "http://host6.example#frag",
+        # WHATWG whitespace stripping: urlparse removes \t\r\n anywhere,
+        # so the fast lane must fall back for these (round-3 ADVICE #2)
+        "https://host7.ex\tample/p",
+        "https://host8.example/a\nb",
+        "http://ho\rst9.example/x",
+        "https://\thost0.example/p1",
     ] * 3
     salt = {"host0.example": 3, "host1.example": 2}
     for s in (None, salt):
