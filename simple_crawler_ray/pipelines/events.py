@@ -221,7 +221,14 @@ def e4_heavy_hitters(
     )
 
 
-def e5_asof_join(sf_dir: str):
+# a key whose tagged-stream row count exceeds this is SUB-SPLIT across
+# ts-range buckets instead of riding one partition (round-3 VERDICT #3);
+# sized so a sub-partition frame stays comfortably inside a worker heap
+_HOT_KEY_ROWS = 500_000
+_HOT_SUBPARTS = 64
+
+
+def e5_asof_join(sf_dir: str, hot_threshold: int = _HOT_KEY_ROWS):
     """AS-OF JOIN (event attribution): for every ``error`` event, the most
     recent ``click`` event of the same user at or before the error's
     timestamp — the operator Ray Data lacks natively, built as the brief's
@@ -232,26 +239,41 @@ def e5_asof_join(sf_dir: str):
     ``partitioned_group_agg`` so every row of a user lands in the same
     partition; each partition then runs ONE vectorized
     ``pd.merge_asof(direction="backward", by="user_id")`` over its sorted
-    slice. No broadcast, no all-pairs: the exchange is the same
-    constant-partition hash shuffle as every aggregate here, and the
-    per-partition merge is O(n log n) in partition rows. Partitioning
-    assumption (documented per the brief): a single user's events fit one
-    partition — hot users would need ts-range sub-splitting with boundary
-    carry-over, which this synthetic log (~uniform users) never triggers.
+    slice. No broadcast, no all-pairs.
+
+    HOT KEYS (round-3 VERDICT #3 — a power-law user holding a large
+    fraction of the log no longer lands in one pandas frame): a bounded
+    census (``relational.hot_keys``) finds keys with > ``hot_threshold``
+    tagged rows; those users' rows are SUB-SPLIT by ts-range into
+    ``_HOT_SUBPARTS`` buckets and partitioned by (user_id, bucket). The
+    backward as-of's cross-bucket dependency is restored by a CARRY row
+    per (user, bucket): the latest click of all earlier buckets (computed
+    as a tiny per-(user, bucket) best-click table + prefix scan — at most
+    n_hot × subparts rows, n_hot ≤ rows/threshold by construction),
+    injected as a synthetic build row. Within a partition frame, extra
+    earlier-bucket clicks can only tie or lose to the carry and
+    later-bucket clicks can never match backward, so the result is
+    EXACT — pinned by the skew stress test against the DuckDB oracle.
 
     Tie-break determinism: click rows are deduped per (user_id, ts) to
     max(value) on BOTH sides of the oracle, so equal-timestamp clicks
     cannot make the match ambiguous. Timestamps are returned as epoch
     microseconds (int64) to keep the value-hash type-stable vs DuckDB's
     native ``ASOF LEFT JOIN``."""
-    from .relational import partitioned_group_agg
+    import numpy as np
+
+    import ray
+
+    from .relational import hot_keys, partitioned_group_agg
 
     def tag(batch: pd.DataFrame) -> pd.DataFrame:
         b = batch[batch["event_type"].isin(["error", "click"])]
         return pd.DataFrame(
             {
                 "user_id": b["user_id"].astype("int64"),
-                "ts": b["ts"],
+                # normalized to µs so the hot route's synthetic carry rows
+                # union with an identical Arrow schema
+                "ts": b["ts"].astype("datetime64[us]"),
                 "side": (b["event_type"] == "click").astype("int8"),
                 "event_id": b["event_id"].astype("int64"),
                 "value": b["value"].astype("float64"),
@@ -294,21 +316,134 @@ def e5_asof_join(sf_dir: str):
             }
         )
 
-    out = partitioned_group_agg(
+    tagged = (
         read_clean(
             f"{sf_dir}/events.parquet",
             ["event_id", "ts", "user_id", "event_type", "value"],
-        ).map_batches(tag, batch_format="pandas", batch_size=65536),
+        )
+        .map_batches(tag, batch_format="pandas", batch_size=65536)
+        .materialize()  # reused by the census + both routes: one read
+    )
+    hot = hot_keys(tagged, "user_id", hot_threshold)
+
+    if not hot:
+        out = partitioned_group_agg(
+            tagged, keys=["user_id"], final=asof_part
+        ).to_pandas()
+        return out.sort_values("event_id").reset_index(drop=True)
+
+    hot_ref = ray.put(set(hot))
+
+    def cold_rows(b: pd.DataFrame) -> pd.DataFrame:
+        h = ray.get(hot_ref)
+        return b[~b["user_id"].isin(h)]
+
+    def hot_rows(b: pd.DataFrame) -> pd.DataFrame:
+        h = ray.get(hot_ref)
+        return b[b["user_id"].isin(h)]
+
+    out_cold = partitioned_group_agg(
+        tagged.map_batches(cold_rows, batch_format="pandas"),
         keys=["user_id"],
         final=asof_part,
     ).to_pandas()
+
+    # --- hot route: ts-range sub-split + carry ------------------------
+    hot_ds = tagged.map_batches(hot_rows, batch_format="pandas").materialize()
+    from ray.data.aggregate import Max, Min
+
+    bounds = hot_ds.aggregate(Min("ts"), Max("ts"))
+    ts_min = pd.Timestamp(bounds["min(ts)"]).value // 1000  # ns → us
+    ts_max = pd.Timestamp(bounds["max(ts)"]).value // 1000
+    span = max(1, (ts_max - ts_min) // _HOT_SUBPARTS + 1)
+
+    def add_bkt(b: pd.DataFrame) -> pd.DataFrame:
+        ts_us = b["ts"].astype("datetime64[us]").astype("int64")
+        return b.assign(bkt=((ts_us - ts_min) // span).astype("int64"))
+
+    bucketed = hot_ds.map_batches(add_bkt, batch_format="pandas")
+
+    # carry table: per (user, bucket) best click — tiny by construction
+    def best_click_partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = b[b["side"] == 1]
+        if c.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "bkt": pd.Series([], dtype="int64"),
+                    "ts": pd.Series([], dtype="datetime64[us]"),
+                    "value": pd.Series([], dtype="float64"),
+                }
+            )
+        return (
+            c.sort_values(["ts", "value"], kind="mergesort")
+            .groupby(["user_id", "bkt"], as_index=False)
+            .last()[["user_id", "bkt", "ts", "value"]]
+        )
+
+    best = (
+        bucketed.map_batches(best_click_partial, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["ts", "value"], kind="mergesort")
+        .groupby(["user_id", "bkt"], as_index=False)
+        .last()
+        .sort_values(["user_id", "bkt"], kind="mergesort")
+    )
+    # prefix carry: a bucket's carry click = the best click of the
+    # NEAREST earlier bucket that has one; replicate each per-bucket best
+    # into every later bucket UP TO AND INCLUDING the next click bucket
+    # (a probe there can precede that bucket's own clicks) and to the end
+    # of the bucket range after the last click bucket (probes can sit in
+    # buckets with no clicks at all).
+    # Size: ≤ n_hot × _HOT_SUBPARTS rows — driver-bounded by construction.
+    n_bkts = int((ts_max - ts_min) // span) + 1
+    reps = []
+    for uid, grp in best.groupby("user_id"):
+        g = grp.sort_values("bkt")
+        bkts = g["bkt"].to_numpy()
+        for i, b0 in enumerate(bkts):
+            hi = bkts[i + 1] if i + 1 < len(bkts) else n_bkts - 1
+            for tb in range(int(b0) + 1, int(hi) + 1):
+                reps.append(
+                    (
+                        int(uid),
+                        int(tb),
+                        g["ts"].iloc[i],
+                        float(g["value"].iloc[i]),
+                    )
+                )
+    if reps:
+        carry_rows = pd.DataFrame(
+            reps, columns=["user_id", "bkt", "ts", "value"]
+        )
+        carry_rows = pd.DataFrame(
+            {
+                "user_id": carry_rows["user_id"].astype("int64"),
+                "ts": carry_rows["ts"].astype("datetime64[us]"),
+                "side": np.int8(1),
+                "event_id": np.int64(-1),
+                "value": carry_rows["value"].astype("float64"),
+                "bkt": carry_rows["bkt"].astype("int64"),
+            }
+        )
+        bucketed = bucketed.union(
+            rd.from_pandas(carry_rows[
+                ["user_id", "ts", "side", "event_id", "value", "bkt"]
+            ])
+        )
+
+    out_hot = partitioned_group_agg(
+        bucketed, keys=["user_id", "bkt"], final=asof_part
+    ).to_pandas()
+
+    out = pd.concat([out_cold, out_hot], ignore_index=True)
     return out.sort_values("event_id").reset_index(drop=True)
 
 
 _E6_WINDOW_MIN = 180
 
 
-def e6_range_join(sf_dir: str):
+def e6_range_join(sf_dir: str, hot_threshold: int = _HOT_KEY_ROWS):
     """RANGE (interval) JOIN — the second join Ray Data lacks natively
     (brief: "as-of join, range join, windowed aggregate"): every
     (click, view) pair of the same user where the view falls in
@@ -317,23 +452,28 @@ def e6_range_join(sf_dir: str):
 
     Shape: same tagged-union co-partition by user as e5; each partition
     pairs its slice FULLY VECTORIZED — no per-user Python loop — with a
-    composite-key double ``searchsorted``: users get dense codes, keys
-    are ``code * span + (ts - ts0)`` with ``span > ts_range + window``
-    so a click's ``(key, key + window]`` probe can never cross into
-    another user's code block; the two searchsorteds give each click its
-    contiguous run of matching views, exploded with the standard
-    repeat/cumsum offset arithmetic. Output size is the true join
-    cardinality (data-dependent), never |clicks| × |views|.
+    composite-key double ``searchsorted``: (user, sub-bucket) pairs get
+    dense codes, keys are ``code * span + (ts - ts0)`` with
+    ``span > ts_range + window`` so a click's ``(key, key + window]``
+    probe can never cross into another code block; the two searchsorteds
+    give each click its contiguous run of matching views, exploded with
+    the standard repeat/cumsum offset arithmetic. Output size is the
+    true join cardinality (data-dependent), never |clicks| × |views|.
 
-    Partitioning assumption (documented per the brief): one partition
-    holds all events of its users for the queried time range; the
-    composite key needs ``users_in_partition × (ts_span + window)`` to
-    fit int64 (asserted) — at planetary scale, bound ts_span by also
-    range-partitioning time and carrying a one-window overlap at
-    segment boundaries."""
+    HOT KEYS (round-3 VERDICT #3): users above ``hot_threshold`` tagged
+    rows are SUB-SPLIT by ts-range buckets of width ≥ window+1 µs and
+    partitioned by (user_id, sub). The window-bounded dependency is
+    restored by ONE-BUCKET click replication: a view in
+    ``(click_ts, click_ts+W]`` lies in the click's bucket or the next
+    (bucket width > W), so each hot click rides in its own bucket AND
+    the next one; pairing matches only equal (user, sub) codes, so every
+    qualifying pair is emitted exactly once — pinned exact by the skew
+    stress test against the DuckDB oracle."""
     import numpy as np
 
-    from .relational import partitioned_group_agg
+    import ray
+
+    from .relational import hot_keys, partitioned_group_agg
 
     win_us = _E6_WINDOW_MIN * 60 * 1_000_000
 
@@ -345,6 +485,7 @@ def e6_range_join(sf_dir: str):
                 "ts_us": b["ts"].astype("datetime64[us]").astype("int64"),
                 "side": (b["event_type"] == "view").astype("int8"),
                 "event_id": b["event_id"].astype("int64"),
+                "sub": np.int64(0),
             }
         )
 
@@ -363,11 +504,18 @@ def e6_range_join(sf_dir: str):
             return empty
         cu_raw = clicks["user_id"].to_numpy(dtype=np.int64)
         vu_raw = views["user_id"].to_numpy(dtype=np.int64)
+        c_sub = clicks["sub"].to_numpy(dtype=np.int64)
+        v_sub = views["sub"].to_numpy(dtype=np.int64)
         ct = clicks["ts_us"].to_numpy(dtype=np.int64)
         vt = views["ts_us"].to_numpy(dtype=np.int64)
-        uniq = np.unique(np.concatenate([cu_raw, vu_raw]))
-        cu = np.searchsorted(uniq, cu_raw)
-        vu = np.searchsorted(uniq, vu_raw)
+        # dense codes over composite (user, sub) — sub is 0 everywhere on
+        # the cold route, where this degenerates to the plain user coding
+        keys = np.concatenate(
+            [np.stack([cu_raw, c_sub], axis=1), np.stack([vu_raw, v_sub], axis=1)]
+        )
+        uniq, inv = np.unique(keys, axis=0, return_inverse=True)
+        cu = inv[: len(cu_raw)]
+        vu = inv[len(cu_raw):]
         ts0 = min(int(ct.min()), int(vt.min()))
         span = max(int(ct.max()), int(vt.max())) - ts0 + win_us + 2
         assert len(uniq) * span < 2**62, "composite range-join key overflow"
@@ -397,14 +545,61 @@ def e6_range_join(sf_dir: str):
             }
         )
 
-    out = partitioned_group_agg(
+    tagged = (
         read_clean(
             f"{sf_dir}/events.parquet",
             ["event_id", "ts", "user_id", "event_type"],
-        ).map_batches(tag, batch_format="pandas", batch_size=65536),
+        )
+        .map_batches(tag, batch_format="pandas", batch_size=65536)
+        .materialize()  # reused by the census + both routes: one read
+    )
+    hot = hot_keys(tagged, "user_id", hot_threshold)
+
+    if not hot:
+        out = partitioned_group_agg(
+            tagged, keys=["user_id"], final=pairs_part
+        ).to_pandas()
+        if out.empty:
+            return pairs_part(pd.DataFrame({"side": pd.Series([], dtype="int8")}))
+        return out.sort_values(["click_id", "view_id"]).reset_index(drop=True)
+
+    hot_ref = ray.put(set(hot))
+
+    out_cold = partitioned_group_agg(
+        tagged.map_batches(
+            lambda b: b[~b["user_id"].isin(ray.get(hot_ref))],
+            batch_format="pandas",
+        ),
         keys=["user_id"],
         final=pairs_part,
     ).to_pandas()
+
+    hot_ds = tagged.map_batches(
+        lambda b: b[b["user_id"].isin(ray.get(hot_ref))],
+        batch_format="pandas",
+    ).materialize()
+    from ray.data.aggregate import Max, Min
+
+    bounds = hot_ds.aggregate(Min("ts_us"), Max("ts_us"))
+    ts_min, ts_max = int(bounds["min(ts_us)"]), int(bounds["max(ts_us)"])
+    # bucket width must exceed the window so a view lands in its click's
+    # bucket or the next one — the one-bucket replication invariant
+    span_b = max(win_us + 1, (ts_max - ts_min) // _HOT_SUBPARTS + 1)
+
+    def resplit(b: pd.DataFrame) -> pd.DataFrame:
+        sub = ((b["ts_us"] - ts_min) // span_b).astype("int64")
+        b = b.assign(sub=sub)
+        clicks = b[b["side"] == 0]
+        nxt = clicks.assign(sub=clicks["sub"] + 1)
+        return pd.concat([b[b["side"] == 1], clicks, nxt], ignore_index=True)
+
+    out_hot = partitioned_group_agg(
+        hot_ds.map_batches(resplit, batch_format="pandas"),
+        keys=["user_id", "sub"],
+        final=pairs_part,
+    ).to_pandas()
+
+    out = pd.concat([out_cold, out_hot], ignore_index=True)
     if out.empty:
         return pairs_part(pd.DataFrame({"side": pd.Series([], dtype="int8")}))
     return out.sort_values(["click_id", "view_id"]).reset_index(drop=True)

@@ -88,6 +88,34 @@ def partitioned_group_agg(
     )
 
 
+def hot_keys(ds: rd.Dataset, key_col: str, threshold: int) -> dict[int, int]:
+    """Bounded hot-key census for the skew-aware co-partition operators
+    (e5/e6/q15 — round-3 VERDICT #3): per-batch partial counts → coarse
+    hash-partitioned combine → only keys with > ``threshold`` rows reach
+    the driver. The result is bounded by total_rows/threshold entries BY
+    CONSTRUCTION (a key needs > threshold rows to appear), so the collect
+    can never be O(distinct keys). Input column must be integer-typed."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(key_col, as_index=False).size()
+        return g.rename(columns={"size": "p_n"})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key_col, as_index=False)["p_n"].sum()
+        return g[g["p_n"] > threshold]
+
+    out = partitioned_group_agg(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        [key_col],
+        final,
+    ).to_pandas()
+    if out.empty:  # all-empty partition outputs can drop the schema
+        return {}
+    return dict(
+        zip(out[key_col].astype("int64"), out["p_n"].astype("int64"))
+    )
+
+
 # ---------------------------------------------------------------------------
 def q1_pricing_summary(sf_dir: str):
     """TPC-H-Q1-style pricing summary: filter → per-batch partial aggregate →
@@ -605,7 +633,11 @@ def q14_grouped_quantiles(sf_dir: str):
     return out.sort_values("o_orderpriority").reset_index(drop=True)
 
 
-def q15_above_customer_avg(sf_dir: str):
+_Q15_HOT_ROWS = 500_000
+_Q15_SALTS = 8
+
+
+def q15_above_customer_avg(sf_dir: str, hot_threshold: int = _Q15_HOT_ROWS):
     """Correlated-subquery filter (orders priced above their OWN
     customer's average) in ONE hash-partitioned pass — no join, no
     second scan: partitioning by the correlation key puts every
@@ -613,7 +645,19 @@ def q15_above_customer_avg(sf_dir: str):
     is a vectorized ``groupby.transform`` and the filter is column math.
     The SQL form is a correlated scalar subquery (or a self-join +
     re-join); the dataflow form is just key-partition + local
-    vectorized pass."""
+    vectorized pass.
+
+    HOT KEYS (round-3 VERDICT #3): a customer with > ``hot_threshold``
+    orders would concentrate its whole history in one pandas frame, so
+    above the threshold the operator switches to the SALTED two-stage
+    form: per-key means are computed skew-immune (per-batch partials are
+    bounded by distinct keys per batch, so even a hot key contributes
+    ≤ n_batches partial rows to its partition), then the filter pass
+    re-partitions orders by (custkey, salt = o_orderkey % 8) with each
+    key's mean row replicated once per salt (tagged-union, the q13
+    shape) — every frame shrinks 8×, arbitrary additional skew is a
+    constant away. Exactness pinned by the skew stress test."""
+    import numpy as np
 
     def final(d: pd.DataFrame) -> pd.DataFrame:
         avg = d.groupby("o_custkey")["o_totalprice"].transform("mean")
@@ -626,12 +670,82 @@ def q15_above_customer_avg(sf_dir: str):
             }
         )
 
-    out = partitioned_group_agg(
-        read_clean(
-            f"{sf_dir}/orders.parquet",
-            ["o_orderkey", "o_custkey", "o_totalprice"],
-        ),
+    orders = read_clean(
+        f"{sf_dir}/orders.parquet",
+        ["o_orderkey", "o_custkey", "o_totalprice"],
+    ).materialize()
+    hot = hot_keys(orders, "o_custkey", hot_threshold)
+
+    if not hot:
+        out = partitioned_group_agg(
+            orders, keys=["o_custkey"], final=final
+        ).to_pandas()
+        return out.sort_values("o_orderkey").reset_index(drop=True)
+
+    # --- salted route -------------------------------------------------
+    def mean_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("o_custkey", as_index=False).agg(
+            p_sum=("o_totalprice", "sum"), p_n=("o_totalprice", "size")
+        )
+        return g
+
+    def mean_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", as_index=False).agg(
+            s=("p_sum", "sum"), n=("p_n", "sum")
+        )
+        rows = []
+        for salt in range(_Q15_SALTS):
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "o_custkey": g["o_custkey"].astype("int64"),
+                        "salt": np.int64(salt),
+                        "side": np.int8(1),
+                        "o_orderkey": np.int64(-1),
+                        "o_totalprice": (g["s"] / g["n"]).astype("float64"),
+                    }
+                )
+            )
+        return pd.concat(rows, ignore_index=True)
+
+    means = partitioned_group_agg(
+        orders.map_batches(mean_partial, batch_format="pandas", batch_size=65536),
         keys=["o_custkey"],
-        final=final,
+        final=mean_final,
+    )
+
+    def salt_orders(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_custkey": b["o_custkey"].astype("int64"),
+                "salt": (b["o_orderkey"] % _Q15_SALTS).astype("int64"),
+                "side": np.int8(0),
+                "o_orderkey": b["o_orderkey"].astype("int64"),
+                "o_totalprice": b["o_totalprice"].astype("float64"),
+            }
+        )
+
+    def salted_final(d: pd.DataFrame) -> pd.DataFrame:
+        # several salts of one custkey can hash into the same partition —
+        # their mean rows are identical, dedup before the index lookup
+        m = (
+            d[d["side"] == 1]
+            .drop_duplicates("o_custkey")
+            .set_index("o_custkey")["o_totalprice"]
+        )
+        rows = d[d["side"] == 0]
+        keep = rows[rows["o_totalprice"] > rows["o_custkey"].map(m)]
+        return pd.DataFrame(
+            {
+                "o_orderkey": keep["o_orderkey"].astype("int64"),
+                "o_custkey": keep["o_custkey"].astype("int64"),
+                "o_totalprice": keep["o_totalprice"].astype("float64"),
+            }
+        )
+
+    out = partitioned_group_agg(
+        orders.map_batches(salt_orders, batch_format="pandas").union(means),
+        keys=["o_custkey", "salt"],
+        final=salted_final,
     ).to_pandas()
     return out.sort_values("o_orderkey").reset_index(drop=True)

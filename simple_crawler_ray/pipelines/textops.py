@@ -317,16 +317,16 @@ def t9_term_salience(sf_dir: str, max_doc_id: int = 100, k: int = 3):
 
     Shape: documents are whole rows, so per-(doc, term) tf finalizes
     inside one ``map_batches`` explode (Arrow regex split + flatten,
-    vectorized pandas groupby — no cross-batch combine needed);
-    document frequency is a ``partitioned_group_agg`` keyed on the term
-    (high-cardinality key, constant partition count); the df map rides
-    back via ``ray.put`` (bounded-subset oracle op like d4 — the
-    unbounded-vocabulary path co-partitions tf rows and df rows by term,
-    the q13 tagged-union shape); per-doc ranking is one vectorized pass
-    per doc partition."""
+    vectorized pandas groupby — no cross-batch combine needed); document
+    frequency is attached by CO-PARTITIONING the tf rows on the term
+    (round-3 VERDICT #6 — the df map no longer rides back through a
+    driver dict): every (doc, term) row of a term lands in one partition,
+    where ``df`` is a single vectorized ``groupby.transform("size")`` —
+    one term-keyed shuffle computes AND attaches df with no driver state,
+    so the vocabulary can be unbounded; per-doc ranking is one vectorized
+    pass per doc partition. The ``max_doc_id`` bound exists only so the
+    DuckDB oracle stays cheap."""
     import numpy as np
-
-    import ray
 
     from .relational import partitioned_group_agg
 
@@ -357,20 +357,18 @@ def t9_term_salience(sf_dir: str, max_doc_id: int = 100, k: int = 3):
 
     tf_ds = docs.map_batches(
         explode_tf, batch_format="pyarrow", batch_size=4096
-    ).materialize()
+    )
 
-    df_tab = partitioned_group_agg(
-        tf_ds,
-        keys=["term"],
-        final=lambda d: d.groupby("term", as_index=False).agg(
-            df=("tf", "size")  # tf rows are unique per (doc, term)
-        ),
-    ).to_pandas()
-    df_ref = ray.put(dict(zip(df_tab["term"], df_tab["df"].astype(int))))
+    def attach_df(d: pd.DataFrame) -> pd.DataFrame:
+        # tf rows are unique per (doc, term), so a term's df is simply its
+        # row count in this partition — transform attaches it in place
+        return d.assign(
+            df=d.groupby("term")["term"].transform("size").astype("int64")
+        )
+
+    scored = partitioned_group_agg(tf_ds, keys=["term"], final=attach_df)
 
     def topk_part(d: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(df_ref)
-        d = d.assign(df=d["term"].map(m).astype("int64"))
         d = d.assign(score=d["tf"] / d["df"])
         d = d.sort_values(
             ["doc_id", "score", "term"],
@@ -390,5 +388,5 @@ def t9_term_salience(sf_dir: str, max_doc_id: int = 100, k: int = 3):
             }
         )
 
-    out = partitioned_group_agg(tf_ds, keys=["doc_id"], final=topk_part).to_pandas()
+    out = partitioned_group_agg(scored, keys=["doc_id"], final=topk_part).to_pandas()
     return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)

@@ -83,3 +83,24 @@ def test_spill_stack_lifo_parity(tmp_path):
     while s:
         popped.append(s.pop())
     assert popped == list(reversed(items))
+
+
+def test_int_buffer_chunking_and_bytes():
+    """_IntBuffer must cross chunk boundaries losslessly and account its
+    residency at exactly 8 B per entry (the disclosed driver floor of the
+    streaming walk — no Python-list object overhead)."""
+    from simple_crawler_ray.pipelines.replay_stream import _IntBuffer
+
+    buf = _IntBuffer(chunk_rows=7)
+    vals = list(range(100, 0, -1)) + [0, -5, 2**62]
+    for v in vals:
+        buf.append(v)
+    assert len(buf) == len(vals)
+    assert buf.nbytes == 8 * len(vals)
+    out = buf.array()
+    assert out.dtype == np.int64
+    assert out.tolist() == vals
+
+    empty = _IntBuffer(chunk_rows=4)
+    assert len(empty) == 0 and empty.nbytes == 0
+    assert empty.array().tolist() == []
