@@ -55,6 +55,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q13_customers_without_orders": rel.q13_customers_without_orders,
         "q14_grouped_quantiles": rel.q14_grouped_quantiles,
         "q15_above_customer_avg": rel.q15_above_customer_avg,
+        "q16_order_date_lag": rel.q16_order_date_lag,
+        "q17_rollup_revenue": rel.q17_rollup_revenue,
         # -- text analysis -------------------------------------------------
         "t1_token_stats": tx.t1_token_stats,
         "t2_quality_score": tx.t2_quality_score,
@@ -65,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t7_topk_per_lang": tx.t7_topk_per_lang,
         "t8_normalize_text": tx.t8_normalize_text,
         "t9_term_salience": tx.t9_term_salience,
+        "t10_top_terms": tx.t10_top_terms,
         # -- dedup family --------------------------------------------------
         "d1_exact_dedup": dd.d1_exact_dedup,
         "d2_minhash_lsh": dd.d2_minhash_lsh,
@@ -85,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e4_heavy_hitters": ev.e4_heavy_hitters,
         "e5_asof_join": ev.e5_asof_join,
         "e6_range_join": ev.e6_range_join,
+        "e7_daily_retention": ev.e7_daily_retention,
         "m1_binary_features": mm.m1_binary_features,
         "m2_frame_sample": mm.m2_frame_sample,
     }
@@ -233,6 +237,60 @@ def oracle_sql() -> dict[str, str]:
                 WHERE o2.o_custkey = o.o_custkey
             )
             ORDER BY o_orderkey
+        """,
+        "q16_order_date_lag": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
+                       AS order_day,
+                   COALESCE(
+                       datediff('day',
+                           lag(o_orderdate) OVER (
+                               PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey),
+                           o_orderdate),
+                       -1) AS gap_days
+            FROM orders
+            ORDER BY o_orderkey
+        """,
+        "q17_rollup_revenue": """
+            SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            GROUP BY ROLLUP(o_orderpriority)
+            ORDER BY 1
+        """,
+        "t10_top_terms": r"""
+            WITH words AS (
+                SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+                FROM documents
+            ),
+            counts AS (
+                SELECT term, count(*) AS n FROM words GROUP BY term
+            ),
+            ranked AS (
+                SELECT term, n,
+                       row_number() OVER (ORDER BY n DESC, term) AS rk
+                FROM counts
+            )
+            SELECT CAST(rk AS BIGINT) AS rank, term, CAST(n AS BIGINT) AS n
+            FROM ranked WHERE rk <= 20
+            ORDER BY rank
+        """,
+        "e7_daily_retention": """
+            WITH du AS (
+                SELECT DISTINCT user_id,
+                       CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+                FROM events
+            )
+            SELECT a.day,
+                   count(*) AS n_active,
+                   CAST(sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_retained
+            FROM du a LEFT JOIN du b
+              ON a.user_id = b.user_id AND b.day = a.day - 1
+            GROUP BY a.day
+            ORDER BY a.day
         """,
         "q14_grouped_quantiles": """
             SELECT o_orderpriority,

@@ -20,6 +20,7 @@ __all__ = [
     "e4_heavy_hitters",
     "e5_asof_join",
     "e6_range_join",
+    "e7_daily_retention",
 ]
 
 _GAP_MIN = 30
@@ -509,13 +510,27 @@ def e6_range_join(sf_dir: str, hot_threshold: int = _HOT_KEY_ROWS):
         ct = clicks["ts_us"].to_numpy(dtype=np.int64)
         vt = views["ts_us"].to_numpy(dtype=np.int64)
         # dense codes over composite (user, sub) — sub is 0 everywhere on
-        # the cold route, where this degenerates to the plain user coding
-        keys = np.concatenate(
-            [np.stack([cu_raw, c_sub], axis=1), np.stack([vu_raw, v_sub], axis=1)]
-        )
-        uniq, inv = np.unique(keys, axis=0, return_inverse=True)
-        cu = inv[: len(cu_raw)]
-        vu = inv[len(cu_raw):]
+        # the cold route, where this degenerates to the plain user coding.
+        # Fast lane: pack (user, sub) arithmetically when it can't
+        # overflow (always, for realistic id ranges); row-wise unique
+        # only as the safety net for pathological id magnitudes.
+        max_sub = max(int(c_sub.max()), int(v_sub.max())) + 1
+        max_u = max(int(cu_raw.max()), int(vu_raw.max()))
+        min_u = min(int(cu_raw.min()), int(vu_raw.min()))
+        if min_u >= 0 and (max_u + 1) * max_sub < 2**62:
+            packed_c = cu_raw * max_sub + c_sub
+            packed_v = vu_raw * max_sub + v_sub
+            uniq = np.unique(np.concatenate([packed_c, packed_v]))
+            cu = np.searchsorted(uniq, packed_c)
+            vu = np.searchsorted(uniq, packed_v)
+        else:
+            keys = np.concatenate(
+                [np.stack([cu_raw, c_sub], axis=1),
+                 np.stack([vu_raw, v_sub], axis=1)]
+            )
+            uniq, inv = np.unique(keys, axis=0, return_inverse=True)
+            cu = inv[: len(cu_raw)]
+            vu = inv[len(cu_raw):]
         ts0 = min(int(ct.min()), int(vt.min()))
         span = max(int(ct.max()), int(vt.max())) - ts0 + win_us + 2
         assert len(uniq) * span < 2**62, "composite range-join key overflow"
@@ -658,3 +673,69 @@ def e3_sliding_window(sf_dir: str):
             "sum_value": agg["s_val"].round(4),
         }
     )
+
+
+def e7_daily_retention(sf_dir: str):
+    """Day-over-day retention: for every calendar day, the number of
+    distinct active users and how many of them were ALSO active the
+    previous day — the cohort/retention op of an event-log pipeline,
+    built without any whole-table distinct on a single node:
+
+    1. per-batch partial dedup of (user_id, day) (the raw stream is
+       ~events/user-day × the distinct set, so dedup starts in the map);
+    2. user-keyed ``partitioned_group_agg``: finishes the distinct (all
+       rows of a user co-located), sorts each user's days once
+       (vectorized diff == 1 ⇒ retained), then pre-aggregates to
+       per-(day) partials WITHIN the partition;
+    3. day-keyed ``partitioned_group_agg`` sums the partials — the only
+       rows that move twice are one per (partition, day).
+    """
+    import numpy as np
+
+    from .relational import partitioned_group_agg
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            batch["ts"].astype("datetime64[us]").astype("int64")
+            // 86_400_000_000
+        )
+        return pd.DataFrame(
+            {"user_id": batch["user_id"].astype("int64"), "day": day}
+        ).drop_duplicates()
+
+    def per_user_part(d: pd.DataFrame) -> pd.DataFrame:
+        d = d.drop_duplicates().sort_values(
+            ["user_id", "day"], kind="mergesort"
+        )
+        prev_same = d["user_id"].eq(d["user_id"].shift())
+        retained = (d["day"].diff() == 1) & prev_same
+        g = (
+            d.assign(ret=retained.astype("int64"))
+            .groupby("day", as_index=False)
+            .agg(p_active=("ret", "size"), p_retained=("ret", "sum"))
+        )
+        return g
+
+    def per_day_final(d: pd.DataFrame) -> pd.DataFrame:
+        g = d.groupby("day", as_index=False).agg(
+            n_active=("p_active", "sum"), n_retained=("p_retained", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "day": g["day"].astype("int64"),
+                "n_active": g["n_active"].astype("int64"),
+                "n_retained": g["n_retained"].astype("int64"),
+            }
+        )
+
+    partials = partitioned_group_agg(
+        read_clean(f"{sf_dir}/events.parquet", ["user_id", "ts"]).map_batches(
+            tag, batch_format="pandas", batch_size=65536
+        ),
+        keys=["user_id"],
+        final=per_user_part,
+    )
+    out = partitioned_group_agg(
+        partials, keys=["day"], final=per_day_final
+    ).to_pandas()
+    return out.sort_values("day").reset_index(drop=True)

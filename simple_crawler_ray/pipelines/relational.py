@@ -31,6 +31,8 @@ from .io import read_clean, retry_join_flake
 from ray.data.aggregate import Count, Sum
 
 __all__ = [
+    "q16_order_date_lag",
+    "q17_rollup_revenue",
     "q1_pricing_summary",
     "q2_topk_orders",
     "q3_segment_revenue",
@@ -749,3 +751,89 @@ def q15_above_customer_avg(sf_dir: str, hot_threshold: int = _Q15_HOT_ROWS):
         final=salted_final,
     ).to_pandas()
     return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def q16_order_date_lag(sf_dir: str):
+    """WINDOW FUNCTION (lag) over a partitioned stream: for every order,
+    the number of days since the SAME customer's previous order — the
+    ``LAG() OVER (PARTITION BY key ORDER BY ...)`` operator class, which
+    Ray Data has no native form of. Dataflow form: co-partition by the
+    window key (the same constant-partition hash shuffle as every
+    aggregate here), then ONE vectorized pass per partition — mergesort
+    by (custkey, date, orderkey), ``shift()``, and a same-customer mask.
+    First orders get sentinel -1 (the null-vs-NaN hash gotcha, like e5).
+    Deterministic under date ties via the orderkey tie-break in BOTH
+    engines."""
+    import numpy as np
+
+    def final(d: pd.DataFrame) -> pd.DataFrame:
+        d = d.sort_values(
+            ["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort"
+        )
+        days = (
+            d["o_orderdate"].astype("datetime64[us]").astype("int64")
+            // 86_400_000_000
+        )
+        prev_days = days.shift()
+        same = d["o_custkey"].eq(d["o_custkey"].shift())
+        gap = (days - prev_days).where(same, -1).fillna(-1)
+        return pd.DataFrame(
+            {
+                "o_orderkey": d["o_orderkey"].astype("int64"),
+                "o_custkey": d["o_custkey"].astype("int64"),
+                "order_day": days.astype("int64"),
+                "gap_days": gap.astype("int64"),
+            }
+        )
+
+    out = partitioned_group_agg(
+        read_clean(
+            f"{sf_dir}/orders.parquet",
+            ["o_orderkey", "o_custkey", "o_orderdate"],
+        ),
+        keys=["o_custkey"],
+        final=final,
+    ).to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def q17_rollup_revenue(sf_dir: str):
+    """GROUPING-SETS / ROLLUP aggregate: revenue and order count per
+    priority PLUS the grand-total row ('ALL') — computed from ONE scan:
+    the per-batch partials feed the per-priority final (a tiny groupby —
+    priority is low-cardinality), and the grand total is derived by
+    re-aggregating the final's own few rows on the driver, never a
+    second pass over the table. The general N-level rollup is the same
+    shape: aggregate at the finest level once, then collapse upward
+    level by level over the (small) aggregated table."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("o_orderpriority", as_index=False).agg(
+            p_rev=("o_totalprice", "sum"), p_n=("o_totalprice", "size")
+        )
+
+    agg = (
+        read_clean(
+            f"{sf_dir}/orders.parquet", ["o_orderpriority", "o_totalprice"]
+        )
+        .map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("o_orderpriority")
+        .aggregate(Sum("p_rev", alias_name="rev"), Sum("p_n", alias_name="n"))
+        .to_pandas()
+    )
+    per_level = pd.DataFrame(
+        {
+            "o_orderpriority": agg["o_orderpriority"],
+            "revenue": agg["rev"].round(2),
+            "n_orders": agg["n"].astype("int64"),
+        }
+    )
+    total = pd.DataFrame(
+        {
+            "o_orderpriority": ["ALL"],
+            "revenue": [round(float(agg["rev"].sum()), 2)],
+            "n_orders": [int(agg["n"].sum())],
+        }
+    )
+    out = pd.concat([per_level, total], ignore_index=True)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)

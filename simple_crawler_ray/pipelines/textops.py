@@ -32,6 +32,7 @@ __all__ = [
     "t7_topk_per_lang",
     "t8_normalize_text",
     "t9_term_salience",
+    "t10_top_terms",
 ]
 
 # stopword markers per language (tiny n-gram/stopword heuristic; the texts
@@ -390,3 +391,60 @@ def t9_term_salience(sf_dir: str, max_doc_id: int = 100, k: int = 3):
 
     out = partitioned_group_agg(scored, keys=["doc_id"], final=topk_part).to_pandas()
     return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
+def t10_top_terms(sf_dir: str, k: int = 20):
+    """Global vocabulary top-k: the k most frequent whitespace terms over
+    ALL documents with total counts — corpus vocabulary statistics, the
+    unbounded-cardinality cousin of t9 (no doc_id bound, no driver
+    vocabulary map at any point):
+
+    1. explode + per-batch partial counts (one row per term per batch,
+       Arrow regex split, vectorized pandas groupby);
+    2. term-keyed ``partitioned_group_agg``: each coarse partition sums
+       its terms' partials AND keeps only its local top-k — correct
+       because a term's rows all land in one partition, so the global
+       top-k is a subset of the union of per-partition top-k's;
+    3. driver merge of ≤ num_parts × k survivor rows.
+
+    No global sort, no O(vocabulary) driver state. Ties broken by term
+    text ascending in both engines."""
+    import numpy as np
+
+    from .relational import partitioned_group_agg
+
+    def explode_counts(batch: pa.Table) -> pd.DataFrame:
+        trimmed = pc.utf8_trim_whitespace(batch["text"])
+        terms = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        flat = pc.list_flatten(terms)
+        flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+        g = (
+            pd.DataFrame({"term": flat.to_pandas()})
+            .groupby("term", as_index=False)
+            .size()
+        )
+        return g.rename(columns={"size": "p_n"})
+
+    def topk_part(d: pd.DataFrame) -> pd.DataFrame:
+        g = d.groupby("term", as_index=False)["p_n"].sum()
+        g = g.sort_values(
+            ["p_n", "term"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return pd.DataFrame(
+            {"term": g["term"], "n": g["p_n"].astype("int64")}
+        )
+
+    parts = partitioned_group_agg(
+        _docs(sf_dir, ["text"]).map_batches(
+            explode_counts, batch_format="pyarrow", batch_size=4096
+        ),
+        keys=["term"],
+        final=topk_part,
+    ).to_pandas()
+    out = (
+        parts.sort_values(["n", "term"], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["rank"] = np.arange(1, len(out) + 1, dtype="int64")
+    return out[["rank", "term", "n"]]
