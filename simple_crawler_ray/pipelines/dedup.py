@@ -172,7 +172,7 @@ _D2_JOIN_MIN_PAIRS = 10_000
 
 
 def _pair_verify(
-    cand: pd.DataFrame,
+    cand_ds,
     payload_ds,
     a_col: str,
     b_col: str,
@@ -184,37 +184,61 @@ def _pair_verify(
     payload table (shingle sets for d2, normalized embeddings for d5b) —
     the shared sketch-then-verify tail of both near-dup operators.
 
-    ``payload_ds`` must hold (id int64, payload binary) rows for exactly
-    the candidate participants (O(candidates), never the corpus).
+    ``cand_ds`` is the candidate-pair DATASET (columns a_col/b_col,
+    int64) — candidates never concentrate on the driver unless they fit
+    the broadcast regime; ``payload_ds`` holds (id int64, payload
+    binary) rows for the whole corpus (inner joins drop non-candidates).
     Two regimes by candidate volume:
 
-    - ≤ ``join_min_pairs``: broadcast the participant payload table once
-      (bounded by 2× pairs rows) and verify in one ``map_batches`` over
-      the pairs — skips the two shuffle joins' executor/actor-pool
-      spin-up (~2 s fixed);
+    - ≤ ``join_min_pairs``: collect the (tiny) pairs, broadcast the
+      payload table FILTERED to their participants (bounded by 2× pairs
+      rows) and verify in one ``map_batches`` over the pairs — skips the
+      two shuffle joins' executor/actor-pool spin-up (~2 s fixed);
     - above: TWO HASH JOINS (pairs ⋈ payload on each side, per-pair math
-      inside ``map_batches``) — no driver dict, no driver pair loop; the
-      verify scales with cluster width even on dup-heavy corpora where
-      candidate pairs explode. Wrapped in ``retry_join_flake``.
+      inside ``map_batches``) — no driver collect of the pairs, no
+      driver dict, no driver pair loop; the verify scales with cluster
+      width even on dup-heavy corpora where candidate pairs explode.
+      Wrapped in ``retry_join_flake``.
 
     ``verify_rows(a_ids, b_ids, payload_a, payload_b)`` returns the
     surviving rows (may add score columns); output is sorted on
-    (a_col, b_col).
+    (a_col, b_col) — the verified-pair result is assumed driver-sized
+    (near-dup outputs), unlike the candidate set.
     """
     import pyarrow as _pa
 
     import ray as _ray
-
-    if cand.empty:
-        return empty
 
     # read the module global at call time (not a def-time default) so the
     # strategy-parity tests can force the join path by monkeypatching it
     if join_min_pairs is None:
         join_min_pairs = _D2_JOIN_MIN_PAIRS
 
-    if len(cand) <= join_min_pairs:
-        tbl = _pa.concat_tables(_ray.get(payload_ds.to_arrow_refs()))
+    cand_mat = cand_ds.materialize()
+    n_cand = cand_mat.count()
+    if n_cand == 0:
+        return empty
+
+    if n_cand <= join_min_pairs:
+        cand = cand_mat.to_pandas()
+        ids_ref = _ray.put(
+            set(cand[a_col].tolist()) | set(cand[b_col].tolist())
+        )
+
+        def participant_payload(batch: _pa.Table, ids=ids_ref) -> _pa.Table:
+            wanted = _ray.get(ids) if isinstance(ids, _ray.ObjectRef) else ids
+            mask = _pa.array(
+                [int(v) in wanted for v in batch["id"].to_pylist()]
+            )
+            return batch.filter(mask)
+
+        tbl = _pa.concat_tables(
+            _ray.get(
+                payload_ds.map_batches(
+                    participant_payload, batch_format="pyarrow"
+                ).to_arrow_refs()
+            )
+        )
         pay_ref = _ray.put(tbl)
 
         def verify_broadcast(batch: pd.DataFrame, pay=pay_ref) -> pd.DataFrame:
@@ -227,8 +251,11 @@ def _pair_verify(
                 [m[int(b)] for b in batch[b_col]],
             )
 
-        cand_ds = rd.from_pandas(cand[[a_col, b_col]].astype("int64"))
-        out = cand_ds.map_batches(verify_broadcast, batch_format="pandas").to_pandas()
+        out = (
+            rd.from_pandas(cand[[a_col, b_col]].astype("int64"))
+            .map_batches(verify_broadcast, batch_format="pandas")
+            .to_pandas()
+        )
     else:
         pay_mat = payload_ds.materialize()
 
@@ -246,16 +273,20 @@ def _pair_verify(
                 lambda b: _pa.table({b_col: b["id"], "payload_b": b["payload"]}),
                 batch_format="pyarrow",
             )
-            cand_ds = rd.from_arrow(
-                _pa.table(
+            # clean pyarrow projection: pandas-origin candidate blocks
+            # carry schema metadata that breaks the hash-shuffle join's
+            # schema alignment (see io.read_clean)
+            cand_clean = cand_mat.map_batches(
+                lambda b: _pa.table(
                     {
-                        a_col: _pa.array(cand[a_col].astype("int64"), _pa.int64()),
-                        b_col: _pa.array(cand[b_col].astype("int64"), _pa.int64()),
+                        a_col: b[a_col].cast(_pa.int64()),
+                        b_col: b[b_col].cast(_pa.int64()),
                     }
-                )
+                ),
+                batch_format="pyarrow",
             )
-            nparts = max(8, len(cand) // 500_000)
-            joined = cand_ds.join(
+            nparts = max(8, n_cand // 500_000)
+            joined = cand_clean.join(
                 amap, "inner", num_partitions=nparts, on=(a_col,)
             ).join(bmap, "inner", num_partitions=nparts, on=(b_col,))
             return joined.map_batches(verify, batch_format="pandas").to_pandas()
@@ -347,29 +378,18 @@ def d2_minhash_lsh(sf_dir: str, threshold: float = 0.5):
 
     from .relational import partitioned_group_agg
 
-    cand = partitioned_group_agg(
+    cand_ds = partitioned_group_agg(
         prep_ds.map_batches(to_bands, batch_format="pandas", batch_size=1024)
         .groupby("part")
         .map_groups(emit_pairs, batch_format="pandas"),
         ["doc_a", "doc_b"],
         lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
         num_parts=32,
-    ).to_pandas()
-    if cand.empty:
-        return pd.DataFrame(_EMPTY_PAIRS)
-
-    ids_ref = _ray.put(
-        set(cand["doc_a"].tolist()) | set(cand["doc_b"].tolist())
     )
 
-    def participant_payload(batch: pa.Table, ids=ids_ref) -> pa.Table:
-        wanted = _ray.get(ids) if isinstance(ids, _ray.ObjectRef) else ids
-        mask = pa.array([int(d) in wanted for d in batch["doc_id"].to_pylist()])
-        t = batch.filter(mask)
-        return pa.table({"id": t["doc_id"], "payload": t["sh"]})
-
     payload_ds = prep_ds.map_batches(
-        participant_payload, batch_format="pyarrow"
+        lambda b: pa.table({"id": b["doc_id"], "payload": b["sh"]}),
+        batch_format="pyarrow",
     )
 
     def verify_rows(doc_a, doc_b, sh_a, sh_b):
@@ -390,7 +410,7 @@ def d2_minhash_lsh(sf_dir: str, threshold: float = 0.5):
         )
 
     return _pair_verify(
-        cand, payload_ds, "doc_a", "doc_b", verify_rows,
+        cand_ds, payload_ds, "doc_a", "doc_b", verify_rows,
         pd.DataFrame(_EMPTY_PAIRS),
     )
 
@@ -683,18 +703,38 @@ def d5_embedding_cosine_pairs(sf_dir: str, threshold: float = 0.4, max_vec_id: i
 
 
 # ---- d5b: LSH-bucketed embedding near-dup (the d5 scale path) -----------
-_D5B_BITS_PER_BAND = 8
-_D5B_BANDS = 16
 _D5B_SEED = 17
 _D5B_INJECT = 25  # perturbed copies injected so the op has guaranteed work
+_D5B_TARGET_BUCKET = 32  # expected rows per (band, band_val) bucket
+_D5B_RECALL_MISS = 0.02  # sizing aims at ≥98% recall AT the threshold
 
 
-def _d5b_hyperplanes(dim: int) -> np.ndarray:
-    """Deterministic (dim, BANDS*BITS) hyperplane matrix — regenerated
+def _d5b_sizing(n: int, threshold: float) -> tuple[int, int]:
+    """Auto-size (bits_per_band, n_bands) to the corpus.
+
+    Candidate volume is ~n²·bands/2^bits for near-isotropic data, so a
+    FIXED bit width is quadratic in n — bits must grow with log2(n) to
+    keep expected bucket occupancy (and so candidates/row) constant:
+    bits = log2(n / target_bucket), clipped to [8, 24]. Wider bands
+    collide less on true near-dups too, so the band count is re-derived
+    from the sign-bit agreement probability p = 1 - arccos(τ)/π:
+    bands = ln(miss) / ln(1 - p^bits), clipped to [8, 128] (the standard
+    LSH r/b trade; at the clip ceiling the miss target is honestly
+    unreachable and recall degrades gracefully — disclosed, the knob is
+    ``threshold``-dependent and printed into the plan via these ints)."""
+    bits = int(np.clip(np.ceil(np.log2(max(n, 2) / _D5B_TARGET_BUCKET)), 8, 24))
+    p = 1.0 - np.arccos(min(threshold, 0.9999)) / np.pi
+    band_hit = p**bits
+    bands = int(np.clip(np.ceil(np.log(_D5B_RECALL_MISS) / np.log(1 - band_hit)), 8, 128))
+    return bits, bands
+
+
+def _d5b_hyperplanes(dim: int, total_bits: int) -> np.ndarray:
+    """Deterministic (dim, bands*bits) hyperplane matrix — regenerated
     from the seed in every task (microseconds for dim≤4096; cheaper than
     broadcasting and exactly reproducible)."""
     rng = np.random.RandomState(_D5B_SEED)
-    return rng.standard_normal((dim, _D5B_BANDS * _D5B_BITS_PER_BAND))
+    return rng.standard_normal((dim, total_bits))
 
 
 def d5b_embedding_lsh_pairs(sf_dir: str, threshold: float = 0.85):
@@ -709,11 +749,15 @@ def d5b_embedding_lsh_pairs(sf_dir: str, threshold: float = 0.85):
        (vec_id, normalized-embedding bytes), MATERIALIZED — the one
        O(corpus) intermediate, spillable object-store blocks.
     2. bands: one matmul against the deterministic hyperplane matrix →
-       16 bands × 8 sign bits; emit ONLY (band, band_val, vec_id, part)
-       rows — ids, no vectors — with the coarse
-       ``part = (band_val*16 + band) % 1024`` key (exactly d3b's
-       discipline, dedup.py d3b ``to_bands``), so bucket pairing runs
-       over a CONSTANT 1024 Ray groups, never 16 groups of O(corpus).
+       ``n_bands`` bands × ``bits`` sign bits, both AUTO-SIZED to the
+       corpus (``_d5b_sizing``: bits grows with log2(n) so expected
+       bucket occupancy — and with it candidate volume per row — stays
+       CONSTANT instead of quadratic; bands re-derived to hold ≥98%
+       recall at the threshold). Emit ONLY (band, band_val, vec_id,
+       part) rows — ids, no vectors — with the coarse
+       ``part = (band_val*n_bands + band) % 1024`` key (exactly d3b's
+       discipline), so bucket pairing runs over a CONSTANT 1024 Ray
+       groups, never n_bands groups of O(corpus).
     3. bucket pairing per coarse partition: vectorized per-(band,
        band_val) candidate id-pair emission; pair-dedup via the
        coarse-partitioned shuffle.
@@ -721,8 +765,8 @@ def d5b_embedding_lsh_pairs(sf_dir: str, threshold: float = 0.85):
        participant vectors are pulled from the prep blocks —
        broadcast-table fast path ≤10k pairs, two-hash-join scale path
        above — so false positives are impossible; only recall is
-       approximate (sign-bit collision probability (1-θ/π)^8 per band,
-       16 bands ≈ 0.98 recall at cosine 0.85).
+       approximate (sign-bit collision probability (1-θ/π)^bits per
+       band, sized across bands to the 0.98 target).
 
     The synthetic embeddings are near-isotropic (max natural cosine
     ≈ 0.46), so — like d3b — the op injects perturbed copies of the
@@ -772,23 +816,23 @@ def d5b_embedding_lsh_pairs(sf_dir: str, threshold: float = 0.85):
         .map_batches(prep, batch_format="pandas", batch_size=4096)
         .materialize()
     )
+    bits_pb, n_bands = _d5b_sizing(prep_ds.count(), threshold)
 
     def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
         m = np.stack([np.frombuffer(b, dtype=np.float64) for b in batch["emb"]])
-        bits = (m @ _d5b_hyperplanes(m.shape[1])) > 0  # (n, B*r)
-        vals = np.packbits(
-            bits.reshape(len(m), _D5B_BANDS, _D5B_BITS_PER_BAND), axis=2
-        ).reshape(len(m), _D5B_BANDS).astype(np.int64)
+        bits = (m @ _d5b_hyperplanes(m.shape[1], n_bands * bits_pb)) > 0
+        pw = np.int64(1) << np.arange(bits_pb, dtype=np.int64)
+        vals = bits.reshape(len(m), n_bands, bits_pb).astype(np.int64) @ pw
         ids = batch["vec_id"].to_numpy().astype(np.int64)
         n = len(ids)
-        band = np.tile(np.arange(_D5B_BANDS, dtype=np.int64), n)
+        band = np.tile(np.arange(n_bands, dtype=np.int64), n)
         band_val = vals.reshape(-1)
         return pd.DataFrame(
             {
                 "band": band,
                 "band_val": band_val,
-                "vec_id": np.repeat(ids, _D5B_BANDS),
-                "part": (band_val * _D5B_BANDS + band) % 1024,
+                "vec_id": np.repeat(ids, n_bands),
+                "part": (band_val * n_bands + band) % 1024,
             }
         )
 
@@ -823,47 +867,39 @@ def d5b_embedding_lsh_pairs(sf_dir: str, threshold: float = 0.85):
 
     from .relational import partitioned_group_agg
 
-    cand = partitioned_group_agg(
+    cand_ds = partitioned_group_agg(
         prep_ds.map_batches(to_bands, batch_format="pandas", batch_size=4096)
         .groupby("part")
         .map_groups(emit_pairs, batch_format="pandas"),
         ["vec_id_a", "vec_id_b"],
         lambda df: df.drop_duplicates(["vec_id_a", "vec_id_b"]),
         num_parts=32,
-    ).to_pandas()
-    if cand.empty:
-        return _empty
-
-    ids_ref = _ray.put(
-        set(cand["vec_id_a"].tolist()) | set(cand["vec_id_b"].tolist())
     )
 
-    def participant_payload(batch: pa.Table, ids=ids_ref) -> pa.Table:
-        wanted = _ray.get(ids) if isinstance(ids, _ray.ObjectRef) else ids
-        mask = pa.array([int(v) in wanted for v in batch["vec_id"].to_pylist()])
-        t = batch.filter(mask)
-        return pa.table({"id": t["vec_id"], "payload": t["emb"]})
-
-    payload_ds = prep_ds.map_batches(participant_payload, batch_format="pyarrow")
+    payload_ds = prep_ds.map_batches(
+        lambda b: pa.table({"id": b["vec_id"], "payload": b["emb"]}),
+        batch_format="pyarrow",
+    )
 
     def verify_rows(a_ids, b_ids, emb_a, emb_b):
-        ka, kb, cs = [], [], []
-        for a, b, ba, bb in zip(a_ids, b_ids, emb_a, emb_b):
-            va = np.frombuffer(ba, dtype=np.float64)
-            vb = np.frombuffer(bb, dtype=np.float64)
-            c = float(va @ vb)
-            if c >= threshold:
-                ka.append(int(a))
-                kb.append(int(b))
-                cs.append(round(c, 6))
+        # fully vectorized: one buffer join + reshape per side, one
+        # row-wise dot — no per-pair Python work (fixed-width payloads,
+        # unlike d2's variable-length shingle sets)
+        n = len(a_ids)
+        if n == 0:
+            return _empty
+        va = np.frombuffer(b"".join(emb_a), dtype=np.float64).reshape(n, -1)
+        vb = np.frombuffer(b"".join(emb_b), dtype=np.float64).reshape(n, -1)
+        cos = np.einsum("ij,ij->i", va, vb)
+        keep = cos >= threshold
         return pd.DataFrame(
             {
-                "vec_id_a": pd.Series(ka, dtype="int64"),
-                "vec_id_b": pd.Series(kb, dtype="int64"),
-                "cosine": pd.Series(cs, dtype="float64"),
+                "vec_id_a": np.asarray(a_ids, dtype=np.int64)[keep],
+                "vec_id_b": np.asarray(b_ids, dtype=np.int64)[keep],
+                "cosine": np.round(cos[keep], 6),
             }
         )
 
     return _pair_verify(
-        cand, payload_ds, "vec_id_a", "vec_id_b", verify_rows, _empty
+        cand_ds, payload_ds, "vec_id_a", "vec_id_b", verify_rows, _empty
     )
