@@ -65,6 +65,14 @@ def _perm_params(seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
 
 _PERM_A, _PERM_B = _perm_params()
 
+# deterministic odd multipliers for d2's vectorized band hashing
+_D2_BAND_MIX = (
+    np.random.RandomState(23)
+    .randint(1, 2**62, size=_ROWS, dtype=np.int64)
+    .astype(np.uint64)
+    | np.uint64(1)
+)
+
 
 def word_shingles(text: str, k: int = 3) -> set[int]:
     """k-word shingles hashed to 61-bit ints (stable across processes)."""
@@ -354,14 +362,33 @@ def d2_minhash_lsh(sf_dir: str, threshold: float = 0.5):
     ).materialize()
 
     def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for doc_id, sigb in zip(batch["doc_id"], batch["sig"]):
-            sig = np.frombuffer(sigb, dtype=np.uint64)
-            for band in range(_BANDS):
-                chunk = sig[band * _ROWS : (band + 1) * _ROWS]
-                bh = hashlib.sha1(chunk.tobytes() + bytes([band])).hexdigest()[:16]
-                rows.append((band, bh, int(doc_id), int(bh[:8], 16) % 1024))
-        return pd.DataFrame(rows, columns=["band", "band_hash", "doc_id", "part"])
+        # fully vectorized band hashing: each band's _ROWS signature words
+        # mix into one uint64 (odd-multiplier dot with wraparound + fmix64
+        # finalizer) — equal bands always collide, unequal bands collide
+        # at ~2^-63 (false candidates only, and the Jaccard verify is
+        # exact). Replaces a per-(doc, band) Python sha1 loop.
+        n = len(batch)
+        sig = np.frombuffer(b"".join(batch["sig"]), dtype=np.uint64).reshape(
+            n, _N_PERM
+        )
+        chunks = sig.reshape(n, _BANDS, _ROWS)
+        mixed = (chunks * _D2_BAND_MIX[None, None, :]).sum(
+            axis=2, dtype=np.uint64
+        )
+        mixed ^= mixed >> np.uint64(33)
+        mixed *= np.uint64(0xFF51AFD7ED558CCD)
+        mixed ^= mixed >> np.uint64(33)
+        band_hash = (mixed >> np.uint64(1)).astype(np.int64)  # (n, _BANDS)
+        return pd.DataFrame(
+            {
+                "band": np.tile(np.arange(_BANDS, dtype=np.int64), n),
+                "band_hash": band_hash.reshape(-1),
+                "doc_id": np.repeat(
+                    batch["doc_id"].to_numpy(dtype=np.int64), _BANDS
+                ),
+                "part": band_hash.reshape(-1) % 1024,
+            }
+        )
 
     def emit_pairs(grp: pd.DataFrame) -> pd.DataFrame:
         rows = []

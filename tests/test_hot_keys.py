@@ -94,6 +94,27 @@ def test_e6_range_hot_route_exact(ray_session, skewed_events_dir):
     assert (ours["user_id"] == 7).sum() > 1000
 
 
+def test_e1_sessionize_hot_route_exact(ray_session, skewed_events_dir):
+    """Sessionization under skew: the ts-bucket sub-split + boundary
+    merge must reproduce the window-function oracle exactly, including
+    sessions that span bucket cuts."""
+    from tools.check_oracles import to_pandas
+
+    from simple_crawler_ray.pipelines.events import e1_sessionize
+
+    ours = to_pandas(e1_sessionize(skewed_events_dir, hot_threshold=500))
+    ours = ours.sort_values("user_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{skewed_events_dir}/events.parquet')"
+    )
+    oracle = _oracle(con, entrymod.oracle_sql()["e1_sessionize"])
+    problems = compare("e1_hot", ours, oracle)
+    assert not problems, problems
+    assert int(ours.loc[ours["user_id"] == 7, "n_events"].iloc[0]) > 5000
+
+
 def test_q15_salted_route_exact(ray_session, skewed_orders_dir):
     from simple_crawler_ray.pipelines.relational import q15_above_customer_avg
 
