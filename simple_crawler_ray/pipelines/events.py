@@ -111,12 +111,15 @@ def e1_sessionize(sf_dir: str, hot_threshold: int | None = None):
             }
         )
 
-    ds = read_clean(f"{sf_dir}/events.parquet", ["user_id", "ts"])
-    hot = hot_keys(ds, "user_id", hot_threshold)
+    # materialized once: the census and the session pass(es) read the
+    # same object-store blocks instead of decoding the parquet twice
+    stream = read_clean(f"{sf_dir}/events.parquet", ["user_id", "ts"]).materialize()
+    hot = hot_keys(stream, "user_id", hot_threshold)
     if not hot:
-        return partitioned_group_agg(ds, keys=["user_id"], final=sessions_part)
+        return partitioned_group_agg(
+            stream, keys=["user_id"], final=sessions_part
+        )
 
-    stream = ds.materialize()
     hot_ref = ray.put(set(hot))
 
     out_cold = partitioned_group_agg(
