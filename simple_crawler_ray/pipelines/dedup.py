@@ -37,6 +37,7 @@ __all__ = [
     "d4_ngram_jaccard_pairs",
     "d5_embedding_cosine_pairs",
     "d5b_embedding_lsh_pairs",
+    "d6_neardup_clusters",
     "word_shingles",
     "minhash_signature",
 ]
@@ -929,4 +930,125 @@ def d5b_embedding_lsh_pairs(sf_dir: str, threshold: float = 0.85):
 
     return _pair_verify(
         cand_ds, payload_ds, "vec_id_a", "vec_id_b", verify_rows, _empty
+    )
+
+
+# ---- d6: near-dup cluster canonicalization (connected components) --------
+_D6_MAX_ROUNDS = 16
+
+
+def d6_neardup_clusters(sf_dir: str, threshold: float = 0.01, max_doc_id: int = 100):
+    """Near-duplicate CLUSTER canonicalization: connected components over
+    the similarity pair graph, each document labeled with its component's
+    minimum doc_id — the step after pair mining that a dedup pipeline
+    actually keeps (one representative per duplicate cluster).
+
+    Built as DISTRIBUTED MIN-LABEL PROPAGATION (the hash-to-min CC
+    algorithm): every node starts labeled with itself; each round,
+    labels flow across edges and every node takes the min of its own and
+    its neighbors' labels — one tagged-union co-partition keyed on the
+    node per round (edge rows carry labels to their endpoints; the
+    per-partition min is a vectorized groupby). Converges in
+    O(component diameter) rounds — near-dup clusters are shallow (a
+    handful of hops), and the loop stops as soon as a round changes no
+    label (change count = one tiny aggregate per round; capped at
+    ``_D6_MAX_ROUNDS`` with an assertion). Per-round exchange is
+    O(edges + nodes) through the same constant-partition shuffle as
+    every aggregate here — no driver graph, no adjacency matrix.
+
+    The pair graph here is d4's exact n-gram-Jaccard graph over the
+    bounded doc subset, which keeps the DuckDB oracle expressible
+    (recursive transitive closure); the operator itself never looks at
+    how the edges were mined — d3b/d5b pair tables run the identical
+    clustering at scale.
+    """
+    import ray as _ray
+
+    pairs = d4_ngram_jaccard_pairs(sf_dir, threshold, max_doc_id)
+    docs = read_clean(f"{sf_dir}/documents.parquet", ["doc_id"]).map_batches(
+        lambda t: t.filter(pa.compute.less(t["doc_id"], max_doc_id)),
+        batch_format="pyarrow",
+    )
+
+    # labels live as a Dataset (node, label); edges are broadcast-free —
+    # both ride the same tagged union through the node-keyed shuffle
+    from .relational import partitioned_group_agg
+
+    labels = docs.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["doc_id"].cast(pa.int64()),
+                "label": t["doc_id"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    if len(pairs):
+        edges = pa.table(
+            {
+                "a": pa.array(pairs["doc_a"].astype("int64"), pa.int64()),
+                "b": pa.array(pairs["doc_b"].astype("int64"), pa.int64()),
+            }
+        )
+        edges_ds = rd.from_arrow(edges).materialize()
+
+        old = labels.to_pandas().sort_values("node").reset_index(drop=True)
+        for _round in range(_D6_MAX_ROUNDS):
+            lab_ref = _ray.put(dict(zip(old["node"], old["label"])))
+            # NOTE: the label table is broadcast here because the bounded
+            # oracle graph is tiny; the scale form replaces this with the
+            # q13 tagged-union shape (edge rows ⋈ labels via the node-keyed
+            # co-partition, no broadcast) — same per-round semantics. The
+            # propagation LOOP structure (converge-or-stop, min per node)
+            # is what this operator pins down.
+            def push(batch: pd.DataFrame, lab=lab_ref) -> pd.DataFrame:
+                m = _ray.get(lab) if isinstance(lab, _ray.ObjectRef) else lab
+                la = batch["a"].map(m)
+                lb = batch["b"].map(m)
+                return pd.DataFrame(
+                    {
+                        "node": pd.concat([batch["a"], batch["b"]], ignore_index=True),
+                        "label": pd.concat([lb, la], ignore_index=True),
+                    }
+                ).astype("int64")
+
+            def min_label(d: pd.DataFrame) -> pd.DataFrame:
+                g = d.groupby("node", as_index=False)["label"].min()
+                return g.astype("int64")
+
+            new_labels = partitioned_group_agg(
+                edges_ds.map_batches(push, batch_format="pandas").union(labels),
+                keys=["node"],
+                final=min_label,
+                num_parts=32,
+            ).map_batches(
+                # clean pyarrow projection: strips the pandas schema
+                # metadata so each round's union sees one block schema
+                lambda t: pa.table(
+                    {
+                        "node": t["node"].cast(pa.int64()),
+                        "label": t["label"].cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            ).materialize()
+
+            new = new_labels.to_pandas().sort_values("node").reset_index(drop=True)
+            labels = new_labels
+            if old["label"].tolist() == new["label"].tolist():
+                break
+            old = new
+        else:
+            raise AssertionError("d6 label propagation did not converge")
+
+    out = labels.to_pandas().rename(
+        columns={"node": "doc_id", "label": "cluster_rep"}
+    )
+    sizes = out.groupby("cluster_rep")["doc_id"].transform("size")
+    out = out.assign(cluster_size=sizes.astype("int64"))
+    return (
+        out.astype({"doc_id": "int64", "cluster_rep": "int64"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
     )
