@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e5_asof_join": ev.e5_asof_join,
         "e6_range_join": ev.e6_range_join,
         "e7_daily_retention": ev.e7_daily_retention,
+        "e8_funnel": ev.e8_funnel,
         "m1_binary_features": mm.m1_binary_features,
         "m2_frame_sample": mm.m2_frame_sample,
     }
@@ -292,6 +293,40 @@ def oracle_sql() -> dict[str, str]:
               ON a.user_id = b.user_id AND b.day = a.day - 1
             GROUP BY a.day
             ORDER BY a.day
+        """,
+        "e8_funnel": """
+            WITH s1 AS (
+                SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'signup' GROUP BY user_id
+            ),
+            s2 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'view' AND e.ts >= s1.t
+                GROUP BY e.user_id
+            ),
+            s3 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts >= s2.t
+                GROUP BY e.user_id
+            ),
+            s4 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s3 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts >= s3.t
+                GROUP BY e.user_id
+            )
+            SELECT * FROM (
+                SELECT 1 AS stage_idx, 'signup' AS stage, count(*) AS n_users FROM s1
+                UNION ALL
+                SELECT 2, 'view', count(*) FROM s2
+                UNION ALL
+                SELECT 3, 'click', count(*) FROM s3
+                UNION ALL
+                SELECT 4, 'purchase', count(*) FROM s4
+            )
+            ORDER BY stage_idx
         """,
         "q14_grouped_quantiles": """
             SELECT o_orderpriority,

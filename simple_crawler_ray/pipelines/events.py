@@ -21,6 +21,7 @@ __all__ = [
     "e5_asof_join",
     "e6_range_join",
     "e7_daily_retention",
+    "e8_funnel",
 ]
 
 _GAP_MIN = 30
@@ -825,3 +826,55 @@ def e7_daily_retention(sf_dir: str):
         partials, keys=["day"], final=per_day_final
     ).to_pandas()
     return out.sort_values("day").reset_index(drop=True)
+
+
+_E8_STAGES = ("signup", "view", "click", "purchase")
+
+
+def e8_funnel(sf_dir: str):
+    """FUNNEL (ordered-sequence) analysis: how many users progressed
+    through signup → view → click → purchase IN TIMESTAMP ORDER (each
+    stage at-or-after the previous stage's earliest completion) — the
+    sequence-pattern operator of event analytics, which has no relational
+    primitive: it needs per-user ordered state.
+
+    Shape: one user-keyed co-partition (all events of a user co-located);
+    within each partition the funnel advances VECTORIZED ACROSS USERS —
+    per stage, one filter + per-user threshold map + groupby-min; users
+    missing a stage drop out of the Series. Per-partition output is 4
+    partial counts; the final is a tiny stage-keyed sum. One shuffle
+    total, O(stages) vectorized passes per partition."""
+    import numpy as np
+
+    from .relational import partitioned_group_agg
+
+    def funnel_part(d: pd.DataFrame) -> pd.DataFrame:
+        counts = []
+        cur = None  # Series user_id -> earliest ts of the previous stage
+        for stage in _E8_STAGES:
+            s = d[d["event_type"] == stage]
+            if cur is not None:
+                thr = s["user_id"].map(cur)
+                s = s[s["ts"] >= thr.where(thr.notna(), pd.Timestamp.max)]
+            cur = s.groupby("user_id")["ts"].min()
+            counts.append(len(cur))
+        return pd.DataFrame(
+            {
+                "stage_idx": pd.Series(range(1, len(_E8_STAGES) + 1), dtype="int64"),
+                "stage": list(_E8_STAGES),
+                "p_users": pd.Series(counts, dtype="int64"),
+            }
+        )
+
+    partials = partitioned_group_agg(
+        read_clean(f"{sf_dir}/events.parquet", ["user_id", "ts", "event_type"]),
+        keys=["user_id"],
+        final=funnel_part,
+    ).to_pandas()
+    out = (
+        partials.groupby(["stage_idx", "stage"], as_index=False)["p_users"]
+        .sum()
+        .rename(columns={"p_users": "n_users"})
+        .astype({"stage_idx": "int64", "n_users": "int64"})
+    )
+    return out.sort_values("stage_idx").reset_index(drop=True)
