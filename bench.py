@@ -322,12 +322,15 @@ def run_bench(sf_dir: str, num_cpus: int, crawl_only: bool = False) -> dict:
             "q13_customers_without_orders",
             "q14_grouped_quantiles",
             "q15_above_customer_avg",
+            "q16_order_date_lag",
             "t2_quality_score",
+            "t10_top_terms",
             "d1_exact_dedup",
             "d2_minhash_lsh",
             "d3b_simhash_neardup",
             "d5_embedding_cosine_pairs",
             "d5b_embedding_lsh_pairs",
+            "d6_neardup_clusters",
             "s1_knn_bruteforce",
             "s2_ann_lsh",
             "s3_ann_ivf",
@@ -337,6 +340,8 @@ def run_bench(sf_dir: str, num_cpus: int, crawl_only: bool = False) -> dict:
             "e4_heavy_hitters",
             "e5_asof_join",
             "e6_range_join",
+            "e7_daily_retention",
+            "e8_funnel",
             "t6_train_val_split",
             "t7_topk_per_lang",
             "t9_term_salience",

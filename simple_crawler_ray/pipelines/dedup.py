@@ -944,17 +944,20 @@ def d6_neardup_clusters(sf_dir: str, threshold: float = 0.01, max_doc_id: int = 
     actually keeps (one representative per duplicate cluster).
 
     Built as DISTRIBUTED MIN-LABEL PROPAGATION (the hash-to-min CC
-    algorithm): every node starts labeled with itself; each round,
-    labels flow across edges and every node takes the min of its own and
-    its neighbors' labels — one tagged-union co-partition keyed on the
-    node per round (edge rows carry labels to their endpoints; the
-    per-partition min is a vectorized groupby). Converges in
-    O(component diameter) rounds — near-dup clusters are shallow (a
-    handful of hops), and the loop stops as soon as a round changes no
-    label (change count = one tiny aggregate per round; capped at
-    ``_D6_MAX_ROUNDS`` with an assertion). Per-round exchange is
-    O(edges + nodes) through the same constant-partition shuffle as
-    every aggregate here — no driver graph, no adjacency matrix.
+    algorithm), BROADCAST-FREE: every node starts labeled with itself;
+    each round runs TWO node-keyed co-partition shuffles —
+    (1) *attach*: edge-endpoint rows ride the tagged union with the
+    current label rows, each partition maps its nodes' labels onto the
+    edges touching them and emits (other_endpoint, label) proposals;
+    (2) *min*: proposals ∪ current labels, per-node vectorized min,
+    plus a per-row ``changed`` flag. The driver reads ONE scalar per
+    round (``sum(changed)``) — never the label table. Converges in
+    O(component diameter) rounds — near-dup clusters are shallow — and
+    stops when a round changes nothing (capped at ``_D6_MAX_ROUNDS``
+    with an assertion). Per-round exchange is O(edges + nodes); no
+    driver graph, no adjacency matrix, no label broadcast. The result
+    (doc_id, cluster_rep, cluster_size) is returned as a lazy Dataset
+    with cluster sizes attached by one more label-keyed co-partition.
 
     The pair graph here is d4's exact n-gram-Jaccard graph over the
     bounded doc subset, which keeps the DuckDB oracle expressible
@@ -962,7 +965,7 @@ def d6_neardup_clusters(sf_dir: str, threshold: float = 0.01, max_doc_id: int = 
     how the edges were mined — d3b/d5b pair tables run the identical
     clustering at scale.
     """
-    import ray as _ray
+    from .relational import partitioned_group_agg
 
     pairs = d4_ngram_jaccard_pairs(sf_dir, threshold, max_doc_id)
     docs = read_clean(f"{sf_dir}/documents.parquet", ["doc_id"]).map_batches(
@@ -970,85 +973,116 @@ def d6_neardup_clusters(sf_dir: str, threshold: float = 0.01, max_doc_id: int = 
         batch_format="pyarrow",
     )
 
-    # labels live as a Dataset (node, label); edges are broadcast-free —
-    # both ride the same tagged union through the node-keyed shuffle
-    from .relational import partitioned_group_agg
+    # ONE state dataset carries everything between rounds — side 1 =
+    # label rows (one per node), side 0 = directed edge-endpoint rows,
+    # side 2 = in-flight label proposals. The only union is the state
+    # INIT (two lazy map outputs — the q13 tagged-union shape); the loop
+    # itself never unions: unioning MATERIALIZED datasets into an
+    # all-to-all stage intermittently deadlocks the streaming executor
+    # on this Ray build (cousin of the JoinOperator flake in io.py), so
+    # state flows as one table through one shuffle per half-round.
+    _COLS = ["node", "label", "other", "side", "changed"]
 
-    labels = docs.map_batches(
-        lambda t: pa.table(
+    def init_labels(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
             {
-                "node": t["doc_id"].cast(pa.int64()),
-                "label": t["doc_id"].cast(pa.int64()),
-            }
-        ),
-        batch_format="pyarrow",
-    ).materialize()
-
-    if len(pairs):
-        edges = pa.table(
-            {
-                "a": pa.array(pairs["doc_a"].astype("int64"), pa.int64()),
-                "b": pa.array(pairs["doc_b"].astype("int64"), pa.int64()),
+                "node": b["doc_id"].astype("int64"),
+                "label": b["doc_id"].astype("int64"),
+                "other": np.int64(-1),
+                "side": np.int8(1),
+                "changed": np.int64(0),
             }
         )
-        edges_ds = rd.from_arrow(edges).materialize()
 
-        old = labels.to_pandas().sort_values("node").reset_index(drop=True)
+    state = docs.map_batches(init_labels, batch_format="pandas")
+
+    if len(pairs):
+        edge_rows = pd.DataFrame(
+            {
+                "node": pd.concat(
+                    [pairs["doc_a"], pairs["doc_b"]], ignore_index=True
+                ).astype("int64"),
+                "label": np.int64(-1),
+                "other": pd.concat(
+                    [pairs["doc_b"], pairs["doc_a"]], ignore_index=True
+                ).astype("int64"),
+                "side": np.int8(0),
+                "changed": np.int64(0),
+            }
+        )
+        edges_ds = rd.from_pandas(edge_rows).map_batches(
+            lambda b: b[_COLS], batch_format="pandas"
+        )
+        state = edges_ds.union(state).materialize()
+
+        def attach(d: pd.DataFrame) -> pd.DataFrame:
+            # partition holds all rows of its nodes: map each node's
+            # label across its edges → proposals (side 2, keyed by the
+            # receiving endpoint); labels and edges pass through
+            m = d.loc[d["side"] == 1].set_index("node")["label"]
+            e = d[d["side"] == 0]
+            prop = pd.DataFrame(
+                {
+                    "node": e["other"].astype("int64"),
+                    "label": e["node"].map(m).astype("int64"),
+                    "other": np.int64(-1),
+                    "side": np.int8(2),
+                    "changed": np.int64(0),
+                }
+            )
+            return pd.concat([d, prop], ignore_index=True)
+
+        def min_step(d: pd.DataFrame) -> pd.DataFrame:
+            lab = d[d["side"] == 1]
+            prop = d[d["side"] == 2]
+            cand = pd.concat(
+                [lab[["node", "label"]], prop[["node", "label"]]],
+                ignore_index=True,
+            )
+            g = cand.groupby("node", as_index=False)["label"].min()
+            old = lab[["node", "label"]].rename(columns={"label": "old"})
+            out = g.merge(old, on="node", how="left")
+            new_lab = pd.DataFrame(
+                {
+                    "node": out["node"].astype("int64"),
+                    "label": out["label"].astype("int64"),
+                    "other": np.int64(-1),
+                    "side": np.int8(1),
+                    "changed": (out["label"] != out["old"]).astype("int64"),
+                }
+            )
+            return pd.concat(
+                [d[d["side"] == 0], new_lab], ignore_index=True
+            )
+
         for _round in range(_D6_MAX_ROUNDS):
-            lab_ref = _ray.put(dict(zip(old["node"], old["label"])))
-            # NOTE: the label table is broadcast here because the bounded
-            # oracle graph is tiny; the scale form replaces this with the
-            # q13 tagged-union shape (edge rows ⋈ labels via the node-keyed
-            # co-partition, no broadcast) — same per-round semantics. The
-            # propagation LOOP structure (converge-or-stop, min per node)
-            # is what this operator pins down.
-            def push(batch: pd.DataFrame, lab=lab_ref) -> pd.DataFrame:
-                m = _ray.get(lab) if isinstance(lab, _ray.ObjectRef) else lab
-                la = batch["a"].map(m)
-                lb = batch["b"].map(m)
-                return pd.DataFrame(
-                    {
-                        "node": pd.concat([batch["a"], batch["b"]], ignore_index=True),
-                        "label": pd.concat([lb, la], ignore_index=True),
-                    }
-                ).astype("int64")
-
-            def min_label(d: pd.DataFrame) -> pd.DataFrame:
-                g = d.groupby("node", as_index=False)["label"].min()
-                return g.astype("int64")
-
-            new_labels = partitioned_group_agg(
-                edges_ds.map_batches(push, batch_format="pandas").union(labels),
-                keys=["node"],
-                final=min_label,
-                num_parts=32,
-            ).map_batches(
-                # clean pyarrow projection: strips the pandas schema
-                # metadata so each round's union sees one block schema
-                lambda t: pa.table(
-                    {
-                        "node": t["node"].cast(pa.int64()),
-                        "label": t["label"].cast(pa.int64()),
-                    }
-                ),
-                batch_format="pyarrow",
+            half = partitioned_group_agg(
+                state, keys=["node"], final=attach, num_parts=32
+            )
+            state = partitioned_group_agg(
+                half, keys=["node"], final=min_step, num_parts=32
             ).materialize()
-
-            new = new_labels.to_pandas().sort_values("node").reset_index(drop=True)
-            labels = new_labels
-            if old["label"].tolist() == new["label"].tolist():
+            if not state.sum("changed"):
                 break
-            old = new
         else:
             raise AssertionError("d6 label propagation did not converge")
 
-    out = labels.to_pandas().rename(
-        columns={"node": "doc_id", "label": "cluster_rep"}
+    labels = state.map_batches(
+        lambda b: b.loc[b["side"] == 1, ["node", "label"]],
+        batch_format="pandas",
     )
-    sizes = out.groupby("cluster_rep")["doc_id"].transform("size")
-    out = out.assign(cluster_size=sizes.astype("int64"))
-    return (
-        out.astype({"doc_id": "int64", "cluster_rep": "int64"})
-        .sort_values("doc_id")
-        .reset_index(drop=True)
-    )
+
+    # attach cluster sizes with one label-keyed co-partition; stays lazy
+    def size_part(d: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "doc_id": d["node"].astype("int64"),
+                "cluster_rep": d["label"].astype("int64"),
+            }
+        )
+        out["cluster_size"] = (
+            out.groupby("cluster_rep")["doc_id"].transform("size").astype("int64")
+        )
+        return out
+
+    return partitioned_group_agg(labels, keys=["label"], final=size_part)
