@@ -935,9 +935,19 @@ def d5b_embedding_lsh_pairs(sf_dir: str, threshold: float = 0.85):
 
 # ---- d6: near-dup cluster canonicalization (connected components) --------
 _D6_MAX_ROUNDS = 16
+# below this node count the component labels are solved by driver-side
+# union-find (O(edges α), microseconds) — the same two-regime discipline
+# as _pair_verify's broadcast fast path; the distributed propagation loop
+# is the scale regime and is pinned equal by a test
+_D6_DRIVER_MAX_NODES = 100_000
 
 
-def d6_neardup_clusters(sf_dir: str, threshold: float = 0.01, max_doc_id: int = 100):
+def d6_neardup_clusters(
+    sf_dir: str,
+    threshold: float = 0.01,
+    max_doc_id: int = 100,
+    driver_max_nodes: int = _D6_DRIVER_MAX_NODES,
+):
     """Near-duplicate CLUSTER canonicalization: connected components over
     the similarity pair graph, each document labeled with its component's
     minimum doc_id — the step after pair mining that a dedup pipeline
@@ -959,6 +969,13 @@ def d6_neardup_clusters(sf_dir: str, threshold: float = 0.01, max_doc_id: int = 
     (doc_id, cluster_rep, cluster_size) is returned as a lazy Dataset
     with cluster sizes attached by one more label-keyed co-partition.
 
+    Two regimes by node count (the _pair_verify discipline): below
+    ``_D6_DRIVER_MAX_NODES`` the labels are solved by driver union-find
+    — the propagation loop's per-round shuffles cost ~2 s each in fixed
+    executor overhead, absurd for a graph whose edge list fits a driver
+    array — and the distributed loop runs above it (forced in tests via
+    ``driver_max_nodes=0`` and pinned equal to the fast path).
+
     The pair graph here is d4's exact n-gram-Jaccard graph over the
     bounded doc subset, which keeps the DuckDB oracle expressible
     (recursive transitive closure); the operator itself never looks at
@@ -972,6 +989,39 @@ def d6_neardup_clusters(sf_dir: str, threshold: float = 0.01, max_doc_id: int = 
         lambda t: t.filter(pa.compute.less(t["doc_id"], max_doc_id)),
         batch_format="pyarrow",
     )
+
+    n_nodes = docs.count()
+    if n_nodes <= driver_max_nodes:
+        node_ids = np.sort(
+            docs.to_pandas()["doc_id"].to_numpy(dtype=np.int64)
+        )
+        parent = np.arange(len(node_ids), dtype=np.int64)
+
+        def find(i: int) -> int:
+            root = i
+            while parent[root] != root:
+                root = parent[root]
+            while parent[i] != root:  # path compression
+                parent[i], i = root, parent[i]
+            return root
+
+        ai = np.searchsorted(node_ids, pairs["doc_a"].to_numpy(np.int64))
+        bi = np.searchsorted(node_ids, pairs["doc_b"].to_numpy(np.int64))
+        for x, y in zip(ai, bi):
+            rx, ry = find(int(x)), find(int(y))
+            if rx != ry:  # union by smaller node id = smaller index
+                if rx < ry:
+                    parent[ry] = rx
+                else:
+                    parent[rx] = ry
+        reps = node_ids[[find(int(i)) for i in range(len(node_ids))]]
+        out = pd.DataFrame(
+            {"doc_id": node_ids, "cluster_rep": reps.astype("int64")}
+        )
+        out["cluster_size"] = (
+            out.groupby("cluster_rep")["doc_id"].transform("size").astype("int64")
+        )
+        return out.sort_values("doc_id").reset_index(drop=True)
 
     # ONE state dataset carries everything between rounds — side 1 =
     # label rows (one per node), side 0 = directed edge-endpoint rows,

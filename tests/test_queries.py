@@ -321,6 +321,19 @@ def test_d5b_join_and_broadcast_verify_agree(ray_session, monkeypatch):
     assert len(broadcast) > 0
 
 
+def test_d6_distributed_matches_driver_unionfind(ray_session):
+    """d6's two regimes — driver union-find (small graphs) and the
+    distributed min-label propagation loop — must produce identical
+    clusters; driver_max_nodes=0 forces the distributed path."""
+    from simple_crawler_ray.pipelines.dedup import d6_neardup_clusters
+
+    fast = to_pandas(d6_neardup_clusters(SF_DIR))
+    dist = to_pandas(d6_neardup_clusters(SF_DIR, driver_max_nodes=0))
+    dist = dist.sort_values("doc_id").reset_index(drop=True)
+    assert fast.values.tolist() == dist.values.tolist()
+    assert (fast["cluster_size"] > 1).any()  # real clusters exist
+
+
 def test_s2_hash_set_probes_match_dense(ray_session, monkeypatch):
     """The hash-set probe representation (large-n_planes path) must give
     exactly the dense bool-table answer at the same n_planes, and must
