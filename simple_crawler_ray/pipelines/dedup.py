@@ -178,6 +178,12 @@ _EMPTY_PAIRS = {"doc_a": pd.Series([], dtype="int64"),
 # broadcast fast path to the two-hash-join shuffle (dup-heavy corpora
 # where neither pairs nor participants fit a broadcast).
 _D2_JOIN_MIN_PAIRS = 10_000
+# ... unless the ENTIRE payload table is small enough to broadcast
+# whole (one ray.put, zero-copy object-store reads per task) — then the
+# pair count is irrelevant: pairs stay a distributed Dataset and verify
+# is one map over them, skipping the two shuffle joins' ~2 s actor
+# spin-up. 64 MB is conservative for a 128 GiB-heap worker.
+_PAYLOAD_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
 
 
 def _pair_verify(
@@ -197,17 +203,25 @@ def _pair_verify(
     int64) — candidates never concentrate on the driver unless they fit
     the broadcast regime; ``payload_ds`` holds (id int64, payload
     binary) rows for the whole corpus (inner joins drop non-candidates).
-    Two regimes by candidate volume:
+    ``cand_ds`` may contain duplicate pairs (the same pair fires in
+    every shared band): the broadcast regimes verify raw pairs and dedup
+    the SMALL verified output — skipping a whole all-to-all — while the
+    join regime pre-dedups with the coarse shuffle so duplicates don't
+    inflate the joins.
 
-    - ≤ ``join_min_pairs``: collect the (tiny) pairs, broadcast the
-      payload table FILTERED to their participants (bounded by 2× pairs
-      rows) and verify in one ``map_batches`` over the pairs — skips the
-      two shuffle joins' executor/actor-pool spin-up (~2 s fixed);
-    - above: TWO HASH JOINS (pairs ⋈ payload on each side, per-pair math
-      inside ``map_batches``) — no driver collect of the pairs, no
-      driver dict, no driver pair loop; the verify scales with cluster
-      width even on dup-heavy corpora where candidate pairs explode.
-      Wrapped in ``retry_join_flake``.
+    Three regimes by candidate volume AND payload size:
+
+    - payload table ≤ ``_PAYLOAD_BROADCAST_MAX_BYTES``: broadcast it
+      WHOLE (one ``ray.put``); pairs stay a distributed Dataset and
+      verify is one ``map_batches`` over them — pair count irrelevant;
+    - payload large but pairs ≤ ``join_min_pairs``: collect the (tiny)
+      pairs, broadcast the payload FILTERED to their participants
+      (bounded by 2× pairs rows);
+    - both large: pre-dedup shuffle, then TWO HASH JOINS (pairs ⋈
+      payload on each side, per-pair math inside ``map_batches``) — no
+      driver collect of the pairs, no driver dict, no driver pair loop;
+      the verify scales with cluster width even on dup-heavy corpora
+      where candidate pairs explode. Wrapped in ``retry_join_flake``.
 
     ``verify_rows(a_ids, b_ids, payload_a, payload_b)`` returns the
     surviving rows (may add score columns); output is sorted on
@@ -228,26 +242,42 @@ def _pair_verify(
     if n_cand == 0:
         return empty
 
-    if n_cand <= join_min_pairs:
-        cand = cand_mat.to_pandas()
-        ids_ref = _ray.put(
-            set(cand[a_col].tolist()) | set(cand[b_col].tolist())
-        )
+    pay_mat = payload_ds.materialize()
+    small_pairs = n_cand <= join_min_pairs
+    small_payload = pay_mat.size_bytes() <= _PAYLOAD_BROADCAST_MAX_BYTES
 
-        def participant_payload(batch: _pa.Table, ids=ids_ref) -> _pa.Table:
-            wanted = _ray.get(ids) if isinstance(ids, _ray.ObjectRef) else ids
-            mask = _pa.array(
-                [int(v) in wanted for v in batch["id"].to_pylist()]
+    if small_pairs or small_payload:
+        if small_pairs and not small_payload:
+            # few pairs over a huge payload table: broadcast only the
+            # participants' rows (bounded by 2× pairs)
+            cand = cand_mat.to_pandas().drop_duplicates([a_col, b_col])
+            ids_ref = _ray.put(
+                set(cand[a_col].tolist()) | set(cand[b_col].tolist())
             )
-            return batch.filter(mask)
 
-        tbl = _pa.concat_tables(
-            _ray.get(
-                payload_ds.map_batches(
-                    participant_payload, batch_format="pyarrow"
-                ).to_arrow_refs()
+            def participant_payload(batch: _pa.Table, ids=ids_ref) -> _pa.Table:
+                wanted = (
+                    _ray.get(ids) if isinstance(ids, _ray.ObjectRef) else ids
+                )
+                mask = _pa.array(
+                    [int(v) in wanted for v in batch["id"].to_pylist()]
+                )
+                return batch.filter(mask)
+
+            tbl = _pa.concat_tables(
+                _ray.get(
+                    pay_mat.map_batches(
+                        participant_payload, batch_format="pyarrow"
+                    ).to_arrow_refs()
+                )
             )
-        )
+        else:
+            # payload fits a broadcast whole — pairs stay DISTRIBUTED
+            # (cand_mat maps below), so even huge candidate sets verify
+            # without the two shuffle joins
+            tbl = _pa.concat_tables(
+                _ray.get(pay_mat.to_arrow_refs())
+            ).combine_chunks()
         pay_ref = _ray.put(tbl)
 
         def verify_broadcast(batch: pd.DataFrame, pay=pay_ref) -> pd.DataFrame:
@@ -260,13 +290,20 @@ def _pair_verify(
                 [m[int(b)] for b in batch[b_col]],
             )
 
-        out = (
-            rd.from_pandas(cand[[a_col, b_col]].astype("int64"))
-            .map_batches(verify_broadcast, batch_format="pandas")
-            .to_pandas()
-        )
+        out = cand_mat.map_batches(
+            verify_broadcast, batch_format="pandas"
+        ).to_pandas()
     else:
-        pay_mat = payload_ds.materialize()
+        from .relational import partitioned_group_agg
+
+        # pre-dedup with the coarse shuffle: multi-band duplicates must
+        # not ride through (and inflate) the two hash joins
+        cand_mat = partitioned_group_agg(
+            cand_mat,
+            [a_col, b_col],
+            lambda df: df.drop_duplicates([a_col, b_col]),
+            num_parts=32,
+        ).materialize()
 
         def verify(batch: pd.DataFrame) -> pd.DataFrame:
             return verify_rows(
@@ -304,7 +341,11 @@ def _pair_verify(
 
     if out.empty:
         return empty
-    return out.sort_values([a_col, b_col]).reset_index(drop=True)
+    return (
+        out.drop_duplicates([a_col, b_col])
+        .sort_values([a_col, b_col])
+        .reset_index(drop=True)
+    )
 
 
 def d2_minhash_lsh(sf_dir: str, threshold: float = 0.5):
@@ -406,13 +447,12 @@ def d2_minhash_lsh(sf_dir: str, threshold: float = 0.5):
 
     from .relational import partitioned_group_agg
 
-    cand_ds = partitioned_group_agg(
+    # raw candidate pairs (multi-band duplicates included — _pair_verify
+    # dedups in whichever regime it picks)
+    cand_ds = (
         prep_ds.map_batches(to_bands, batch_format="pandas", batch_size=1024)
         .groupby("part")
-        .map_groups(emit_pairs, batch_format="pandas"),
-        ["doc_a", "doc_b"],
-        lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
-        num_parts=32,
+        .map_groups(emit_pairs, batch_format="pandas")
     )
 
     payload_ds = prep_ds.map_batches(
@@ -895,13 +935,12 @@ def d5b_embedding_lsh_pairs(sf_dir: str, threshold: float = 0.85):
 
     from .relational import partitioned_group_agg
 
-    cand_ds = partitioned_group_agg(
+    # raw candidate pairs (multi-band duplicates included — _pair_verify
+    # dedups in whichever regime it picks)
+    cand_ds = (
         prep_ds.map_batches(to_bands, batch_format="pandas", batch_size=4096)
         .groupby("part")
-        .map_groups(emit_pairs, batch_format="pandas"),
-        ["vec_id_a", "vec_id_b"],
-        lambda df: df.drop_duplicates(["vec_id_a", "vec_id_b"]),
-        num_parts=32,
+        .map_groups(emit_pairs, batch_format="pandas")
     )
 
     payload_ds = prep_ds.map_batches(

@@ -119,6 +119,7 @@ def test_d2_join_and_broadcast_verify_agree(ray_session, monkeypatch):
     sf = "/root/testdata/sf0.01"
     broadcast = dedup.d2_minhash_lsh(sf)
     monkeypatch.setattr(dedup, "_D2_JOIN_MIN_PAIRS", -1)
+    monkeypatch.setattr(dedup, "_PAYLOAD_BROADCAST_MAX_BYTES", -1)
     joined = dedup.d2_minhash_lsh(sf)
     assert broadcast.values.tolist() == joined.values.tolist()
     assert len(broadcast) > 0
@@ -316,6 +317,7 @@ def test_d5b_join_and_broadcast_verify_agree(ray_session, monkeypatch):
 
     broadcast = dedup.d5b_embedding_lsh_pairs(SF_DIR)
     monkeypatch.setattr(dedup, "_D2_JOIN_MIN_PAIRS", -1)
+    monkeypatch.setattr(dedup, "_PAYLOAD_BROADCAST_MAX_BYTES", -1)
     joined = dedup.d5b_embedding_lsh_pairs(SF_DIR)
     assert broadcast.values.tolist() == joined.values.tolist()
     assert len(broadcast) > 0
