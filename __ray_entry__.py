@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q15_above_customer_avg": rel.q15_above_customer_avg,
         "q16_order_date_lag": rel.q16_order_date_lag,
         "q17_rollup_revenue": rel.q17_rollup_revenue,
+        "q18_pivot_hourly": rel.q18_pivot_hourly,
         # -- text analysis -------------------------------------------------
         "t1_token_stats": tx.t1_token_stats,
         "t2_quality_score": tx.t2_quality_score,
@@ -91,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e6_range_join": ev.e6_range_join,
         "e7_daily_retention": ev.e7_daily_retention,
         "e8_funnel": ev.e8_funnel,
+        "e9_approx_distinct_users": ev.e9_approx_distinct_users,
         "m1_binary_features": mm.m1_binary_features,
         "m2_frame_sample": mm.m2_frame_sample,
     }
@@ -261,6 +263,17 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY ROLLUP(o_orderpriority)
             ORDER BY 1
+        """,
+        "q18_pivot_hourly": """
+            SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+            FROM events
+            GROUP BY 1
+            ORDER BY hour
         """,
         "t10_top_terms": r"""
             WITH words AS (

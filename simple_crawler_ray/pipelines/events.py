@@ -22,6 +22,7 @@ __all__ = [
     "e6_range_join",
     "e7_daily_retention",
     "e8_funnel",
+    "e9_approx_distinct_users",
 ]
 
 _GAP_MIN = 30
@@ -878,3 +879,78 @@ def e8_funnel(sf_dir: str):
         .astype({"stage_idx": "int64", "n_users": "int64"})
     )
     return out.sort_values("stage_idx").reset_index(drop=True)
+
+
+_E9_P = 8  # 2^8 = 256 registers → ~6.5% standard error
+
+
+def e9_approx_distinct_users(sf_dir: str, p: int = _E9_P):
+    """APPROXIMATE DISTINCT COUNT via HyperLogLog — the mergeable
+    cardinality sketch (Flajolet et al. 2007): each batch collapses to a
+    256-register sketch (state O(2^p), never O(distinct)); registers
+    merge by element-wise max — associative and order-independent, so
+    the combine tree can be arbitrarily deep at 100 TB; the driver folds
+    one tiny (register, rank) table and applies the standard estimator
+    with the linear-counting small-range correction.
+
+    All-vectorized: splitmix64 finalizer over the id column, exact
+    integer bit-length by 6 masked shifts (no float log2 — precision at
+    2^k boundaries would corrupt ranks). Approximate by construction →
+    rows-only driver check; the ≤3σ error gate vs the exact distinct
+    count is asserted in tests (σ = 1.04/√256 ≈ 6.5%)."""
+    import numpy as np
+
+    m = 1 << p
+
+    def _splitmix64(x: np.ndarray) -> np.ndarray:
+        x = x.astype(np.uint64)
+        x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        z = x
+        z ^= z >> np.uint64(30)
+        z *= np.uint64(0xBF58476D1CE4E5B9)
+        z ^= z >> np.uint64(27)
+        z *= np.uint64(0x94D049BB133111EB)
+        z ^= z >> np.uint64(31)
+        return z
+
+    def _bit_length(w: np.ndarray) -> np.ndarray:
+        bl = np.zeros(len(w), dtype=np.int64)
+        w = w.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            big = w >= (np.uint64(1) << np.uint64(shift))
+            bl[big] += shift
+            w[big] >>= np.uint64(shift)
+        bl[w > 0] += 1
+        return bl
+
+    def sketch(batch: pd.DataFrame) -> pd.DataFrame:
+        h = _splitmix64(batch["user_id"].to_numpy(np.int64).view(np.uint64))
+        reg = (h >> np.uint64(64 - p)).astype(np.int64)
+        # w = the (64-p)-bit suffix, pre-shifted into the high bits so
+        # leading zeros read off a 64-bit bit_length; rank = lz + 1,
+        # capped at 57 for the all-zero suffix
+        w = (h << np.uint64(p)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        rank = np.minimum(64 + 1 - _bit_length(w), (64 - p) + 1)
+        regs = np.zeros(m, dtype=np.int64)
+        np.maximum.at(regs, reg, rank)
+        nz = np.nonzero(regs)[0]
+        return pd.DataFrame(
+            {"register": nz.astype("int64"), "rank": regs[nz].astype("int64")}
+        )
+
+    merged = (
+        read_clean(f"{sf_dir}/events.parquet", ["user_id"])
+        .map_batches(sketch, batch_format="pandas", batch_size=65536)
+        .groupby("register")
+        .aggregate(__import__("ray").data.aggregate.Max("rank", alias_name="r"))
+        .to_pandas()
+    )
+    regs = np.zeros(m, dtype=np.int64)
+    regs[merged["register"].to_numpy(np.int64)] = merged["r"].to_numpy(np.int64)
+
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:  # linear-counting small-range correction
+        est = m * np.log(m / zeros)
+    return pd.DataFrame({"approx_distinct_users": [int(round(est))]})

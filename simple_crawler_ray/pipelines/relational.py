@@ -32,6 +32,7 @@ from ray.data.aggregate import Count, Sum
 
 __all__ = [
     "q16_order_date_lag",
+    "q18_pivot_hourly",
     "q17_rollup_revenue",
     "q1_pricing_summary",
     "q2_topk_orders",
@@ -837,3 +838,44 @@ def q17_rollup_revenue(sf_dir: str):
     )
     out = pd.concat([per_level, total], ignore_index=True)
     return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+_Q18_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q18_pivot_hourly(sf_dir: str):
+    """PIVOT (long → wide reshape): per hour-of-day, one count column per
+    event type — the reshape operator of reporting pipelines. Dataflow
+    form: conditional aggregation — each batch pre-aggregates a
+    (hour, type) contingency partial, the small final groupby sums, and
+    the wide columns are filled by one vectorized unstack on the driver
+    (the result is `24 × n_types`, driver-sized by construction; the
+    wide-column set must be KNOWN/fixed — the relational pivot
+    restriction — so unexpected types fail loudly)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            batch.assign(hour=batch["ts"].dt.hour.astype("int64"))
+            .groupby(["hour", "event_type"], as_index=False)
+            .size()
+        )
+        return g.rename(columns={"size": "p_n"})
+
+    agg = (
+        read_clean(f"{sf_dir}/events.parquet", ["ts", "event_type"])
+        .map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby(["hour", "event_type"])
+        .aggregate(Sum("p_n", alias_name="n"))
+        .to_pandas()
+    )
+    unexpected = set(agg["event_type"]) - set(_Q18_TYPES)
+    assert not unexpected, f"unknown event types for pivot: {unexpected}"
+    wide = (
+        agg.pivot(index="hour", columns="event_type", values="n")
+        .reindex(columns=list(_Q18_TYPES))  # schema-stable wide columns
+        .fillna(0)
+        .astype("int64")
+        .reset_index()
+    )
+    wide.columns = ["hour"] + [f"n_{c}" for c in wide.columns[1:]]
+    return wide.sort_values("hour").reset_index(drop=True).astype({"hour": "int64"})

@@ -34,6 +34,7 @@ def test_query_and_oracle_keys_consistent():
         "d3_simhash",
         "d3b_simhash_neardup",
         "d5b_embedding_lsh_pairs",
+        "e9_approx_distinct_users",
         "s2_ann_lsh",
         "s3_ann_ivf",
         "s3b_ann_ivf_partitioned",
@@ -321,6 +322,22 @@ def test_d5b_join_and_broadcast_verify_agree(ray_session, monkeypatch):
     joined = dedup.d5b_embedding_lsh_pairs(SF_DIR)
     assert broadcast.values.tolist() == joined.values.tolist()
     assert len(broadcast) > 0
+
+
+def test_e9_hll_error_bound(ray_session, con):
+    """HyperLogLog estimate must land within 3σ (σ = 1.04/√256 ≈ 6.5%)
+    of the exact distinct count at both test scales."""
+    from simple_crawler_ray.pipelines.events import e9_approx_distinct_users
+
+    for sf in (SF_DIR, "/root/testdata/sf0.01"):
+        est = int(
+            e9_approx_distinct_users(sf)["approx_distinct_users"].iloc[0]
+        )
+        exact = duckdb.sql(
+            f"SELECT count(DISTINCT user_id) FROM read_parquet('{sf}/events.parquet')"
+        ).fetchone()[0]
+        rel_err = abs(est - exact) / exact
+        assert rel_err <= 3 * 1.04 / 16, (sf, est, exact, rel_err)
 
 
 def test_d6_distributed_matches_driver_unionfind(ray_session):
