@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q16_order_date_lag": rel.q16_order_date_lag,
         "q17_rollup_revenue": rel.q17_rollup_revenue,
         "q18_pivot_hourly": rel.q18_pivot_hourly,
+        "q19_left_join_order_counts": rel.q19_left_join_order_counts,
         # -- text analysis -------------------------------------------------
         "t1_token_stats": tx.t1_token_stats,
         "t2_quality_score": tx.t2_quality_score,
@@ -340,6 +341,14 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 4, 'purchase', count(*) FROM s4
             )
             ORDER BY stage_idx
+        """,
+        "q19_left_join_order_counts": """
+            SELECT c.c_custkey,
+                   count(o.o_orderkey) AS n_orders,
+                   round(COALESCE(sum(o.o_totalprice), 0.0), 2) AS total_spent
+            FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey
+            ORDER BY c.c_custkey
         """,
         "q14_grouped_quantiles": """
             SELECT o_orderpriority,

@@ -323,6 +323,8 @@ def run_bench(sf_dir: str, num_cpus: int, crawl_only: bool = False) -> dict:
             "q14_grouped_quantiles",
             "q15_above_customer_avg",
             "q16_order_date_lag",
+            "q18_pivot_hourly",
+            "q19_left_join_order_counts",
             "t2_quality_score",
             "t10_top_terms",
             "d1_exact_dedup",
@@ -342,6 +344,7 @@ def run_bench(sf_dir: str, num_cpus: int, crawl_only: bool = False) -> dict:
             "e6_range_join",
             "e7_daily_retention",
             "e8_funnel",
+            "e9_approx_distinct_users",
             "t6_train_val_split",
             "t7_topk_per_lang",
             "t9_term_salience",

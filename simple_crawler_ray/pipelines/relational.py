@@ -33,6 +33,7 @@ from ray.data.aggregate import Count, Sum
 __all__ = [
     "q16_order_date_lag",
     "q18_pivot_hourly",
+    "q19_left_join_order_counts",
     "q17_rollup_revenue",
     "q1_pricing_summary",
     "q2_topk_orders",
@@ -879,3 +880,67 @@ def q18_pivot_hourly(sf_dir: str):
     )
     wide.columns = ["hour"] + [f"n_{c}" for c in wide.columns[1:]]
     return wide.sort_values("hour").reset_index(drop=True).astype({"hour": "int64"})
+
+
+def q19_left_join_order_counts(sf_dir: str):
+    """LEFT OUTER JOIN + grouped aggregate: every customer with their
+    order count and total spend — customers with no orders kept at
+    (0, 0.0). Completes the join family (inner q4, broadcast q3/q5,
+    anti q13, as-of e5, range e6): the outer side rides the q13
+    tagged-union co-partition — customer rows side 0, per-batch partial
+    order aggregates side 1 (one row per (custkey, batch), so a
+    customer's orders collapse BEFORE the shuffle) — and each partition
+    emits its side-0 rows with the summed side-1 partials, zero-filled
+    where none exist. No nullable columns cross the engine boundary
+    (the e5 sentinel discipline)."""
+
+    def cust_side(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": batch["c_custkey"].astype("int64"),
+                "side": 0,
+                "p_n": 0,
+                "p_total": 0.0,
+            }
+        )
+
+    def order_side(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("o_custkey", as_index=False).agg(
+            p_n=("o_totalprice", "size"), p_total=("o_totalprice", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "key": g["o_custkey"].astype("int64"),
+                "side": 1,
+                "p_n": g["p_n"].astype("int64"),
+                "p_total": g["p_total"].astype("float64"),
+            }
+        )
+
+    cust = read_clean(f"{sf_dir}/customer.parquet", ["c_custkey"]).map_batches(
+        cust_side, batch_format="pandas", batch_size=65536
+    )
+    orders = read_clean(
+        f"{sf_dir}/orders.parquet", ["o_custkey", "o_totalprice"]
+    ).map_batches(order_side, batch_format="pandas", batch_size=65536)
+
+    def left_merge(d: pd.DataFrame) -> pd.DataFrame:
+        left = d[d["side"] == 0]
+        agg = (
+            d[d["side"] == 1]
+            .groupby("key", as_index=False)
+            .agg(n=("p_n", "sum"), total=("p_total", "sum"))
+        )
+        m = left[["key"]].merge(agg, on="key", how="left")
+        return pd.DataFrame(
+            {
+                "c_custkey": m["key"].astype("int64"),
+                "n_orders": m["n"].fillna(0).astype("int64"),
+                "total_spent": m["total"].fillna(0.0).round(2),
+            }
+        )
+
+    out = partitioned_group_agg(
+        cust.union(orders), keys=["key"], final=left_merge
+    ).to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
