@@ -38,6 +38,7 @@ __all__ = [
     "d5_embedding_cosine_pairs",
     "d5b_embedding_lsh_pairs",
     "d6_neardup_clusters",
+    "connected_components",
     "word_shingles",
     "minhash_signature",
 ]
@@ -1017,17 +1018,38 @@ def d6_neardup_clusters(
 
     The pair graph here is d4's exact n-gram-Jaccard graph over the
     bounded doc subset, which keeps the DuckDB oracle expressible
-    (recursive transitive closure); the operator itself never looks at
-    how the edges were mined — d3b/d5b pair tables run the identical
-    clustering at scale.
+    (recursive transitive closure); the clustering core is the
+    input-agnostic ``connected_components`` below — the d3b pair table
+    runs the identical clustering (asserted by a test that recovers the
+    injected near-dup pairs as 2-clusters).
     """
-    from .relational import partitioned_group_agg
-
     pairs = d4_ngram_jaccard_pairs(sf_dir, threshold, max_doc_id)
     docs = read_clean(f"{sf_dir}/documents.parquet", ["doc_id"]).map_batches(
         lambda t: t.filter(pa.compute.less(t["doc_id"], max_doc_id)),
         batch_format="pyarrow",
     )
+    return connected_components(
+        pairs[["doc_a", "doc_b"]], docs, driver_max_nodes=driver_max_nodes
+    )
+
+
+def connected_components(
+    pairs: pd.DataFrame,
+    nodes_ds: rd.Dataset,
+    driver_max_nodes: int = _D6_DRIVER_MAX_NODES,
+):
+    """Input-agnostic connected-components core shared by d6 and any
+    near-dup pair table (d3b/d5b outputs cluster through this verbatim):
+    ``pairs`` is a 2-column edge frame (first column = smaller id by the
+    pair-mining convention), ``nodes_ds`` a Dataset with a ``doc_id``
+    column enumerating the node universe. Output: (doc_id, cluster_rep,
+    cluster_size), cluster_rep = min doc_id of the component. See
+    ``d6_neardup_clusters`` for the algorithm and regime notes."""
+    from .relational import partitioned_group_agg
+
+    a_col, b_col = pairs.columns[:2]
+    pairs = pairs.rename(columns={a_col: "doc_a", b_col: "doc_b"})
+    docs = nodes_ds
 
     n_nodes = docs.count()
     if n_nodes <= driver_max_nodes:

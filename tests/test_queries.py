@@ -370,3 +370,33 @@ def test_s2_hash_set_probes_match_dense(ray_session, monkeypatch):
     # 24 planes over a toy corpus legitimately prunes recall.
     big = similarity.s2_ann_lsh(SF_DIR, n_planes=24)
     assert list(big.columns) == ["query_id", "neighbor_id"]
+
+
+def test_connected_components_clusters_d3b_pairs(ray_session):
+    """The CC core is input-agnostic: d3b's SimHash near-dup pair table
+    must cluster through it, putting every injected (i, i+1_000_000)
+    near-dup pair in one component with rep = i."""
+    import pandas as pd
+    import ray.data as rd
+
+    from simple_crawler_ray.pipelines.dedup import (
+        connected_components,
+        d3b_simhash_neardup,
+    )
+
+    pairs = d3b_simhash_neardup(SF_DIR)
+    nodes = pd.DataFrame(
+        {
+            "doc_id": pd.concat(
+                [pairs["doc_a"], pairs["doc_b"]], ignore_index=True
+            ).drop_duplicates()
+        }
+    )
+    out = to_pandas(
+        connected_components(pairs[["doc_a", "doc_b"]], rd.from_pandas(nodes))
+    ).set_index("doc_id")
+    injected = pairs[pairs["doc_b"] == pairs["doc_a"] + 1_000_000]
+    assert len(injected) > 0
+    for a, b in zip(injected["doc_a"], injected["doc_b"]):
+        assert out.loc[a, "cluster_rep"] == out.loc[b, "cluster_rep"]
+        assert out.loc[b, "cluster_size"] >= 2
