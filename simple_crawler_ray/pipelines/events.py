@@ -832,7 +832,10 @@ def e7_daily_retention(sf_dir: str):
 _E8_STAGES = ("signup", "view", "click", "purchase")
 
 
-def e8_funnel(sf_dir: str):
+_E8_SALTS = 8
+
+
+def e8_funnel(sf_dir: str, hot_threshold: int = _HOT_KEY_ROWS):
     """FUNNEL (ordered-sequence) analysis: how many users progressed
     through signup → view → click → purchase IN TIMESTAMP ORDER (each
     stage at-or-after the previous stage's earliest completion) — the
@@ -844,10 +847,34 @@ def e8_funnel(sf_dir: str):
     per stage, one filter + per-user threshold map + groupby-min; users
     missing a stage drop out of the Series. Per-partition output is 4
     partial counts; the final is a tiny stage-keyed sum. One shuffle
-    total, O(stages) vectorized passes per partition."""
+    total, O(stages) vectorized passes per partition.
+
+    HOT KEYS: the per-user funnel state is ONE scalar per stage (the
+    earliest completion ts), so a hot user doesn't need ts-bucket
+    sub-splitting — above ``hot_threshold`` the operator switches to the
+    STAGED SALTED form (the q15 shape, once per stage): stage-k events
+    salted by event_id co-partition with the stage-(k-1) threshold table
+    replicated per salt; each partition filters ts ≥ threshold and emits
+    per-(user, salt) min partials, folded to the next threshold table by
+    a user-keyed aggregate whose partials are ≤ n_salts per user. Every
+    frame shrinks n_salts×; exactness pinned by the skew stress test."""
     import numpy as np
 
-    from .relational import partitioned_group_agg
+    from .relational import hot_keys, partitioned_group_agg
+
+    stream = (
+        read_clean(f"{sf_dir}/events.parquet", ["user_id", "ts", "event_type"])
+        .map_batches(
+            lambda b: b[b["event_type"].isin(_E8_STAGES)].assign(
+                ts=b.loc[b["event_type"].isin(_E8_STAGES), "ts"].astype(
+                    "datetime64[us]"
+                )
+            ),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+    hot = hot_keys(stream, "user_id", hot_threshold)
 
     def funnel_part(d: pd.DataFrame) -> pd.DataFrame:
         counts = []
@@ -867,18 +894,106 @@ def e8_funnel(sf_dir: str):
             }
         )
 
-    partials = partitioned_group_agg(
-        read_clean(f"{sf_dir}/events.parquet", ["user_id", "ts", "event_type"]),
-        keys=["user_id"],
-        final=funnel_part,
-    ).to_pandas()
-    out = (
-        partials.groupby(["stage_idx", "stage"], as_index=False)["p_users"]
-        .sum()
-        .rename(columns={"p_users": "n_users"})
-        .astype({"stage_idx": "int64", "n_users": "int64"})
+    if not hot:
+        partials = partitioned_group_agg(
+            stream, keys=["user_id"], final=funnel_part
+        ).to_pandas()
+        out = (
+            partials.groupby(["stage_idx", "stage"], as_index=False)["p_users"]
+            .sum()
+            .rename(columns={"p_users": "n_users"})
+            .astype({"stage_idx": "int64", "n_users": "int64"})
+        )
+        return out.sort_values("stage_idx").reset_index(drop=True)
+
+    # --- staged salted route -------------------------------------------
+    thresholds = None  # Dataset (user_id, thr_us, salt, side) — stage k-1
+    n_users_per_stage: list[int] = []
+    for k, stage in enumerate(_E8_STAGES):
+
+        def stage_events(b: pd.DataFrame, stage=stage) -> pd.DataFrame:
+            s = b[b["event_type"] == stage]
+            return pd.DataFrame(
+                {
+                    "user_id": s["user_id"].astype("int64"),
+                    "thr_us": s["ts"].astype("datetime64[us]").astype("int64"),
+                    # row-position salt: exactness never depends on WHICH
+                    # salt an event lands on, only that all salts of a
+                    # user see the user's threshold row
+                    "salt": np.arange(len(s), dtype="int64") % _E8_SALTS,
+                    "side": np.int8(0),
+                }
+            )
+
+        ev_k = stream.map_batches(stage_events, batch_format="pandas")
+
+        if thresholds is None:
+            # stage 0: plain per-user min — partials bounded per batch
+            def min_partial(b: pd.DataFrame) -> pd.DataFrame:
+                g = b.groupby("user_id", as_index=False)["thr_us"].min()
+                return g
+
+            def min_final(d: pd.DataFrame) -> pd.DataFrame:
+                return d.groupby("user_id", as_index=False)["thr_us"].min()
+
+            thr_tbl = partitioned_group_agg(
+                ev_k.map_batches(min_partial, batch_format="pandas"),
+                keys=["user_id"],
+                final=min_final,
+            ).materialize()
+        else:
+
+            def gated_min(d: pd.DataFrame) -> pd.DataFrame:
+                # side 1 = threshold rows (deduped: one per user per salt)
+                thr = (
+                    d[d["side"] == 1]
+                    .drop_duplicates("user_id")
+                    .set_index("user_id")["thr_us"]
+                )
+                e = d[d["side"] == 0]
+                t = e["user_id"].map(thr)
+                e = e[e["thr_us"] >= t.fillna(np.iinfo(np.int64).max)]
+                return e.groupby("user_id", as_index=False)["thr_us"].min()
+
+            def min_final(d: pd.DataFrame) -> pd.DataFrame:
+                return d.groupby("user_id", as_index=False)["thr_us"].min()
+
+            gated = partitioned_group_agg(
+                ev_k.union(thresholds),
+                keys=["user_id", "salt"],
+                final=gated_min,
+            )
+            # fold the ≤ n_salts partials per user into the stage table
+            thr_tbl = partitioned_group_agg(
+                gated, keys=["user_id"], final=min_final
+            ).materialize()
+
+        n_users_per_stage.append(thr_tbl.count())
+
+        def replicate(b: pd.DataFrame) -> pd.DataFrame:
+            reps = []
+            for salt in range(_E8_SALTS):
+                reps.append(
+                    pd.DataFrame(
+                        {
+                            "user_id": b["user_id"].astype("int64"),
+                            "thr_us": b["thr_us"].astype("int64"),
+                            "salt": np.int64(salt),
+                            "side": np.int8(1),
+                        }
+                    )
+                )
+            return pd.concat(reps, ignore_index=True)
+
+        thresholds = thr_tbl.map_batches(replicate, batch_format="pandas")
+
+    return pd.DataFrame(
+        {
+            "stage_idx": pd.Series(range(1, len(_E8_STAGES) + 1), dtype="int64"),
+            "stage": list(_E8_STAGES),
+            "n_users": pd.Series(n_users_per_stage, dtype="int64"),
+        }
     )
-    return out.sort_values("stage_idx").reset_index(drop=True)
 
 
 _E9_P = 8  # 2^8 = 256 registers → ~6.5% standard error

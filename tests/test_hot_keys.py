@@ -24,8 +24,11 @@ def skewed_events_dir(tmp_path_factory):
     # microsecond offsets over ~10 days, with duplicates (coarse grid)
     off = rng.randint(0, 10 * 86400, size=n).astype("int64") * 1_000_000
     ts = pd.to_datetime(base + off, unit="us")
-    etype = rng.choice(["click", "view", "error", "scroll"], size=n,
-                       p=[0.3, 0.4, 0.2, 0.1])
+    etype = rng.choice(
+        ["click", "view", "error", "signup", "purchase"],
+        size=n,
+        p=[0.25, 0.3, 0.2, 0.15, 0.1],
+    )
     df = pd.DataFrame(
         {
             "event_id": np.arange(n, dtype="int64"),
@@ -113,6 +116,24 @@ def test_e1_sessionize_hot_route_exact(ray_session, skewed_events_dir):
     problems = compare("e1_hot", ours, oracle)
     assert not problems, problems
     assert int(ours.loc[ours["user_id"] == 7, "n_events"].iloc[0]) > 5000
+
+
+def test_e8_funnel_hot_route_exact(ray_session, skewed_events_dir):
+    """Funnel under skew: the staged salted route must match the chained
+    min-ts oracle exactly."""
+    from tools.check_oracles import to_pandas
+
+    from simple_crawler_ray.pipelines.events import e8_funnel
+
+    ours = to_pandas(e8_funnel(skewed_events_dir, hot_threshold=500))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{skewed_events_dir}/events.parquet')"
+    )
+    oracle = _oracle(con, entrymod.oracle_sql()["e8_funnel"])
+    problems = compare("e8_hot", ours, oracle)
+    assert not problems, problems
 
 
 def test_q15_salted_route_exact(ray_session, skewed_orders_dir):
