@@ -777,6 +777,11 @@ def e7_daily_retention(sf_dir: str):
        per-(day) partials WITHIN the partition;
     3. day-keyed ``partitioned_group_agg`` sums the partials — the only
        rows that move twice are one per (partition, day).
+
+    Skew note: unlike the raw-event co-partitions (e1/e5/e6/e8), a hot
+    user CANNOT blow up a partition here — the per-batch dedup bounds a
+    user's partition rows by min(calendar days × input batches, raw
+    rows), i.e. O(days) once batches cover the range, never O(events).
     """
     import numpy as np
 

@@ -755,7 +755,10 @@ def q15_above_customer_avg(sf_dir: str, hot_threshold: int = _Q15_HOT_ROWS):
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
-def q16_order_date_lag(sf_dir: str):
+_Q16_SUBPARTS = 64
+
+
+def q16_order_date_lag(sf_dir: str, hot_threshold: int = _Q15_HOT_ROWS):
     """WINDOW FUNCTION (lag) over a partitioned stream: for every order,
     the number of days since the SAME customer's previous order — the
     ``LAG() OVER (PARTITION BY key ORDER BY ...)`` operator class, which
@@ -765,10 +768,18 @@ def q16_order_date_lag(sf_dir: str):
     by (custkey, date, orderkey), ``shift()``, and a same-customer mask.
     First orders get sentinel -1 (the null-vs-NaN hash gotcha, like e5).
     Deterministic under date ties via the orderkey tie-break in BOTH
-    engines."""
+    engines.
+
+    HOT KEYS: lag's only cross-row dependency is the IMMEDIATELY
+    PREVIOUS row, so a hot key sub-splits by day-range bucket with a
+    ONE-ROW carry — each (key, bucket)'s carry is the last row of the
+    key's previous OCCUPIED bucket (a tiny per-(key, bucket) last-row
+    table + one shift, ≤ n_hot × subparts rows), injected as a marked
+    row that seeds the shift and is dropped from output. Exact under
+    one-key-50% skew (stress test)."""
     import numpy as np
 
-    def final(d: pd.DataFrame) -> pd.DataFrame:
+    def lag_frame(d: pd.DataFrame) -> pd.DataFrame:
         d = d.sort_values(
             ["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort"
         )
@@ -779,7 +790,7 @@ def q16_order_date_lag(sf_dir: str):
         prev_days = days.shift()
         same = d["o_custkey"].eq(d["o_custkey"].shift())
         gap = (days - prev_days).where(same, -1).fillna(-1)
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "o_orderkey": d["o_orderkey"].astype("int64"),
                 "o_custkey": d["o_custkey"].astype("int64"),
@@ -787,15 +798,109 @@ def q16_order_date_lag(sf_dir: str):
                 "gap_days": gap.astype("int64"),
             }
         )
+        if "is_carry" in d.columns:
+            out = out[~d["is_carry"].to_numpy(dtype=bool)]
+        return out
 
-    out = partitioned_group_agg(
-        read_clean(
-            f"{sf_dir}/orders.parquet",
-            ["o_orderkey", "o_custkey", "o_orderdate"],
+    orders = read_clean(
+        f"{sf_dir}/orders.parquet",
+        ["o_orderkey", "o_custkey", "o_orderdate"],
+    ).materialize()
+    hot = hot_keys(orders, "o_custkey", hot_threshold)
+
+    if not hot:
+        out = partitioned_group_agg(
+            orders, keys=["o_custkey"], final=lag_frame
+        ).to_pandas()
+        return out.sort_values("o_orderkey").reset_index(drop=True)
+
+    hot_ref = ray.put(set(hot))
+
+    out_cold = partitioned_group_agg(
+        orders.map_batches(
+            lambda b: b[~b["o_custkey"].isin(ray.get(hot_ref))],
+            batch_format="pandas",
         ),
         keys=["o_custkey"],
-        final=final,
+        final=lag_frame,
     ).to_pandas()
+
+    hot_ds = orders.map_batches(
+        lambda b: b[b["o_custkey"].isin(ray.get(hot_ref))].assign(
+            is_carry=False
+        ),
+        batch_format="pandas",
+    ).materialize()
+    from ray.data.aggregate import Max, Min
+
+    bounds = hot_ds.aggregate(Min("o_orderdate"), Max("o_orderdate"))
+    d_min = pd.Timestamp(bounds["min(o_orderdate)"]).value // 1000
+    d_max = pd.Timestamp(bounds["max(o_orderdate)"]).value // 1000
+    span = max(1, (d_max - d_min) // _Q16_SUBPARTS + 1)
+
+    def add_bkt(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["o_orderdate"].astype("datetime64[us]").astype("int64")
+        return b.assign(bkt=((us - d_min) // span).astype("int64"))
+
+    bucketed = hot_ds.map_batches(add_bkt, batch_format="pandas")
+
+    # per-(key, occupied bucket) LAST row — tiny by construction; the
+    # carry for each occupied bucket is the previous occupied bucket's
+    # last row (one groupby + one shift on the driver)
+    def last_partial(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
+        return s.groupby(["o_custkey", "bkt"], as_index=False).last()[
+            ["o_custkey", "bkt", "o_orderkey", "o_orderdate"]
+        ]
+
+    last_rows = (
+        bucketed.map_batches(last_partial, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
+        .groupby(["o_custkey", "bkt"], as_index=False)
+        .last()
+        .sort_values(["o_custkey", "bkt"], kind="mergesort")
+    )
+    same_key = last_rows["o_custkey"].eq(last_rows["o_custkey"].shift())
+    carry = pd.DataFrame(
+        {
+            "o_orderkey": last_rows["o_orderkey"].shift(),
+            "o_custkey": last_rows["o_custkey"],
+            "o_orderdate": last_rows["o_orderdate"].shift(),
+            "is_carry": True,
+            "bkt": last_rows["bkt"],
+        }
+    )[same_key.to_numpy()]
+    carry = pd.DataFrame(
+        {
+            "o_orderkey": carry["o_orderkey"].astype("int64"),
+            "o_custkey": carry["o_custkey"].astype("int64"),
+            "o_orderdate": carry["o_orderdate"].astype("datetime64[us]"),
+            "is_carry": True,
+            "bkt": carry["bkt"].astype("int64"),
+        }
+    )
+
+    hot_in = bucketed.map_batches(
+        lambda b: b.assign(
+            o_orderdate=b["o_orderdate"].astype("datetime64[us]")
+        )[["o_orderkey", "o_custkey", "o_orderdate", "is_carry", "bkt"]],
+        batch_format="pandas",
+    )
+    if len(carry):
+        hot_in = hot_in.union(rd.from_pandas(carry))
+
+    def lag_bucketed(d: pd.DataFrame) -> pd.DataFrame:
+        # carry rows sort adjacent to (or as ties of) the previous
+        # bucket's genuine last row; either way the first real row of
+        # each bucket shifts off the correct predecessor
+        return lag_frame(d)
+
+    out_hot = partitioned_group_agg(
+        hot_in, keys=["o_custkey", "bkt"], final=lag_bucketed
+    ).to_pandas()
+
+    out = pd.concat([out_cold, out_hot], ignore_index=True)
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 

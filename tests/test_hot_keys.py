@@ -49,11 +49,16 @@ def skewed_orders_dir(tmp_path_factory):
     rng = np.random.RandomState(43)
     n = 10_000
     cust = np.where(rng.rand(n) < 0.5, 3, rng.randint(0, 200, size=n))
+    base = pd.Timestamp("1995-01-01").value // 1000
+    off = rng.randint(0, 2000, size=n).astype("int64") * 86_400_000_000
     df = pd.DataFrame(
         {
             "o_orderkey": np.arange(n, dtype="int64"),
             "o_custkey": cust.astype("int64"),
             "o_totalprice": np.round(rng.rand(n) * 10_000, 2),
+            "o_orderdate": pd.to_datetime(base + off, unit="us").astype(
+                "datetime64[us]"
+            ),
         }
     )
     df.to_parquet(d / "orders.parquet", index=False)
@@ -147,6 +152,24 @@ def test_q15_salted_route_exact(ray_session, skewed_orders_dir):
     )
     oracle = _oracle(con, entrymod.oracle_sql()["q15_above_customer_avg"])
     problems = compare("q15_hot", ours, oracle)
+    assert not problems, problems
+    assert (ours["o_custkey"] == 3).sum() > 500
+
+
+def test_q16_lag_hot_route_exact(ray_session, skewed_orders_dir):
+    """LAG under skew: day-bucket sub-split with the one-row carry must
+    match the window-function oracle exactly — including gaps that span
+    bucket cuts and date ties at the cut."""
+    from simple_crawler_ray.pipelines.relational import q16_order_date_lag
+
+    ours = q16_order_date_lag(skewed_orders_dir, hot_threshold=500)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{skewed_orders_dir}/orders.parquet')"
+    )
+    oracle = _oracle(con, entrymod.oracle_sql()["q16_order_date_lag"])
+    problems = compare("q16_hot", ours, oracle)
     assert not problems, problems
     assert (ours["o_custkey"] == 3).sum() > 500
 
