@@ -780,9 +780,15 @@ def q16_order_date_lag(sf_dir: str, hot_threshold: int = _Q15_HOT_ROWS):
     import numpy as np
 
     def lag_frame(d: pd.DataFrame) -> pd.DataFrame:
-        d = d.sort_values(
-            ["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort"
-        )
+        # carry rows are exact copies of a real row from the previous
+        # occupied bucket; when both collide into one partition the carry
+        # must sort AFTER its real twin (is_carry as the last sort key),
+        # otherwise the real row would shift off its own duplicate and
+        # report gap 0 — tie order is otherwise block-order-dependent
+        keys = ["o_custkey", "o_orderdate", "o_orderkey"]
+        if "is_carry" in d.columns:
+            keys = keys + ["is_carry"]
+        d = d.sort_values(keys, kind="mergesort")
         days = (
             d["o_orderdate"].astype("datetime64[us]").astype("int64")
             // 86_400_000_000
