@@ -186,6 +186,35 @@ _D2_JOIN_MIN_PAIRS = 10_000
 # spin-up. 64 MB is conservative for a 128 GiB-heap worker.
 _PAYLOAD_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
 
+# Per-worker-process memo of searchsorted-ready payload indexes, keyed by
+# broadcast ObjectRef hex: the id->payload mapping is built ONCE per worker
+# per broadcast, never per batch (the per-batch dict rebuild was O(corpus)
+# work on every candidate batch of both d2 and d5b verifies). Bounded FIFO
+# like stages.extract._BROADCAST_CACHE.
+_PAYLOAD_INDEX_CACHE: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _payload_index(pay) -> tuple[np.ndarray, np.ndarray]:
+    """Resolve a broadcast (id, payload) Arrow table to a (sorted_ids,
+    payloads_in_id_order) pair, memoized per worker process."""
+    import ray as _ray
+
+    is_ref = isinstance(pay, _ray.ObjectRef)
+    key = pay.hex() if is_ref else None
+    if key is not None and key in _PAYLOAD_INDEX_CACHE:
+        return _PAYLOAD_INDEX_CACHE[key]
+    t = _ray.get(pay) if is_ref else pay
+    ids = np.asarray(t["id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    payloads = np.empty(len(ids), dtype=object)
+    payloads[:] = t["payload"].to_pylist()
+    order = np.argsort(ids, kind="stable")
+    index = (ids[order], payloads[order])
+    if key is not None:
+        while len(_PAYLOAD_INDEX_CACHE) >= 4:
+            _PAYLOAD_INDEX_CACHE.pop(next(iter(_PAYLOAD_INDEX_CACHE)))
+        _PAYLOAD_INDEX_CACHE[key] = index
+    return index
+
 
 def _pair_verify(
     cand_ds,
@@ -282,13 +311,14 @@ def _pair_verify(
         pay_ref = _ray.put(tbl)
 
         def verify_broadcast(batch: pd.DataFrame, pay=pay_ref) -> pd.DataFrame:
-            t = _ray.get(pay) if isinstance(pay, _ray.ObjectRef) else pay
-            m = dict(zip(t["id"].to_pylist(), t["payload"].to_pylist()))
+            ids, payloads = _payload_index(pay)
+            a = batch[a_col].to_numpy(dtype=np.int64)
+            b = batch[b_col].to_numpy(dtype=np.int64)
             return verify_rows(
                 batch[a_col],
                 batch[b_col],
-                [m[int(a)] for a in batch[a_col]],
-                [m[int(b)] for b in batch[b_col]],
+                payloads[np.searchsorted(ids, a)],
+                payloads[np.searchsorted(ids, b)],
             )
 
         out = cand_mat.map_batches(
