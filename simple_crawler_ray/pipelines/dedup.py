@@ -1004,7 +1004,6 @@ def d5b_embedding_lsh_pairs(sf_dir: str, threshold: float = 0.85):
 
 
 # ---- d6: near-dup cluster canonicalization (connected components) --------
-_D6_MAX_ROUNDS = 16
 # below this node count the component labels are solved by driver-side
 # union-find (O(edges α), microseconds) — the same two-regime discipline
 # as _pair_verify's broadcast fast path; the distributed propagation loop
@@ -1023,21 +1022,33 @@ def d6_neardup_clusters(
     minimum doc_id — the step after pair mining that a dedup pipeline
     actually keeps (one representative per duplicate cluster).
 
-    Built as DISTRIBUTED MIN-LABEL PROPAGATION (the hash-to-min CC
-    algorithm), BROADCAST-FREE: every node starts labeled with itself;
-    each round runs TWO node-keyed co-partition shuffles —
+    Built as DISTRIBUTED MIN-LABEL PROPAGATION WITH POINTER JUMPING
+    (hash-to-min-style CC), BROADCAST-FREE: every node starts labeled
+    with itself; each round runs TWO node-keyed co-partition shuffles —
     (1) *attach*: edge-endpoint rows ride the tagged union with the
-    current label rows, each partition maps its nodes' labels onto the
-    edges touching them and emits (other_endpoint, label) proposals;
+    current label rows; each partition maps its nodes' labels onto the
+    edges touching them and emits (other_endpoint, label) proposals,
+    and ANSWERS the previous round's pointer queries (a query row for
+    node v is routed to v's current label l; the answer proposes
+    label(l) back to v — the pointer-jump label(v) ← label(label(v)));
     (2) *min*: proposals ∪ current labels, per-node vectorized min,
-    plus a per-row ``changed`` flag. The driver reads ONE scalar per
-    round (``sum(changed)``) — never the label table. Converges in
-    O(component diameter) rounds — near-dup clusters are shallow — and
-    stops when a round changes nothing (capped at ``_D6_MAX_ROUNDS``
-    with an assertion). Per-round exchange is O(edges + nodes); no
-    driver graph, no adjacency matrix, no label broadcast. The result
-    (doc_id, cluster_rep, cluster_size) is returned as a lazy Dataset
-    with cluster sizes attached by one more label-keyed co-partition.
+    a per-row ``changed`` flag, and fresh pointer queries for every
+    non-root label. The driver reads ONE scalar per round
+    (``sum(changed)``) — never the label table. Pointer jumping halves
+    the remaining pointer depth each round, so long duplicate CHAINS
+    converge in O(log diameter) rounds instead of O(diameter); the loop
+    is uncapped and stops the first round that changes nothing (safe:
+    labels are monotone non-increasing over a finite set, so a
+    no-change round is guaranteed, and edge-proposal stability alone
+    already implies labels are constant per component). Per-round
+    exchange is O(edges + nodes); no driver graph, no adjacency matrix,
+    no label broadcast. The result (doc_id, cluster_rep, cluster_size)
+    is returned as a lazy Dataset with cluster sizes attached by one
+    more label-keyed co-partition.
+
+    Edges whose endpoints fall OUTSIDE the declared node universe
+    propose nothing and receive no label row (both regimes drop them;
+    the contract is endpoints ⊆ nodes_ds).
 
     Two regimes by node count (the _pair_verify discipline): below
     ``_D6_DRIVER_MAX_NODES`` the labels are solved by driver union-find
@@ -1096,8 +1107,20 @@ def connected_components(
                 parent[i], i = root, parent[i]
             return root
 
-        ai = np.searchsorted(node_ids, pairs["doc_a"].to_numpy(np.int64))
-        bi = np.searchsorted(node_ids, pairs["doc_b"].to_numpy(np.int64))
+        av = pairs["doc_a"].to_numpy(np.int64)
+        bv = pairs["doc_b"].to_numpy(np.int64)
+        ai = np.searchsorted(node_ids, av)
+        bi = np.searchsorted(node_ids, bv)
+        # drop edges with endpoints outside the node universe (contract:
+        # endpoints ⊆ nodes_ds) — an unchecked searchsorted would silently
+        # union the wrong nodes
+        ok = (
+            (ai < len(node_ids))
+            & (bi < len(node_ids))
+            & (node_ids[np.minimum(ai, len(node_ids) - 1)] == av)
+            & (node_ids[np.minimum(bi, len(node_ids) - 1)] == bv)
+        )
+        ai, bi = ai[ok], bi[ok]
         for x, y in zip(ai, bi):
             rx, ry = find(int(x)), find(int(y))
             if rx != ry:  # union by smaller node id = smaller index
@@ -1159,21 +1182,48 @@ def connected_components(
         def attach(d: pd.DataFrame) -> pd.DataFrame:
             # partition holds all rows of its nodes: map each node's
             # label across its edges → proposals (side 2, keyed by the
-            # receiving endpoint); labels and edges pass through
+            # receiving endpoint), and answer last round's pointer
+            # queries (side 3, routed to the label node: the answer
+            # proposes label(l) back to the asking node — the pointer
+            # jump). Labels and edges pass through; consumed queries
+            # are dropped; edges/queries naming nodes with no label row
+            # (outside the node universe) propose nothing.
             m = d.loc[d["side"] == 1].set_index("node")["label"]
             e = d[d["side"] == 0]
+            src_lab = e["node"].map(m)
+            ok = src_lab.notna()
             prop = pd.DataFrame(
                 {
-                    "node": e["other"].astype("int64"),
-                    "label": e["node"].map(m).astype("int64"),
+                    "node": e.loc[ok, "other"].to_numpy(np.int64),
+                    "label": src_lab[ok].to_numpy(np.int64),
                     "other": np.int64(-1),
                     "side": np.int8(2),
                     "changed": np.int64(0),
                 }
             )
-            return pd.concat([d, prop], ignore_index=True)
+            q = d[d["side"] == 3]
+            if len(q):
+                ans_lab = q["node"].map(m)
+                okq = ans_lab.notna()
+                ans = pd.DataFrame(
+                    {
+                        "node": q.loc[okq, "other"].to_numpy(np.int64),
+                        "label": ans_lab[okq].to_numpy(np.int64),
+                        "other": np.int64(-1),
+                        "side": np.int8(2),
+                        "changed": np.int64(0),
+                    }
+                )
+                prop = pd.concat([prop, ans], ignore_index=True)
+            return pd.concat(
+                [d[d["side"] != 3], prop], ignore_index=True
+            )
 
         def min_step(d: pd.DataFrame) -> pd.DataFrame:
+            # consume ALL proposals (edge + pointer answers) into a
+            # per-node min; the label universe never grows (proposals
+            # for unknown nodes are dropped by the old-side merge);
+            # emit fresh pointer queries for every non-root label
             lab = d[d["side"] == 1]
             prop = d[d["side"] == 2]
             cand = pd.concat(
@@ -1182,21 +1232,34 @@ def connected_components(
             )
             g = cand.groupby("node", as_index=False)["label"].min()
             old = lab[["node", "label"]].rename(columns={"label": "old"})
-            out = g.merge(old, on="node", how="left")
+            out = old.merge(g, on="node", how="left")
             new_lab = pd.DataFrame(
                 {
-                    "node": out["node"].astype("int64"),
-                    "label": out["label"].astype("int64"),
+                    "node": out["node"].to_numpy(np.int64),
+                    "label": out["label"].to_numpy(np.int64),
                     "other": np.int64(-1),
                     "side": np.int8(1),
-                    "changed": (out["label"] != out["old"]).astype("int64"),
+                    "changed": (out["label"] != out["old"]).to_numpy(np.int64),
+                }
+            )
+            ptr = new_lab[new_lab["label"] != new_lab["node"]]
+            queries = pd.DataFrame(
+                {
+                    "node": ptr["label"].to_numpy(np.int64),
+                    "label": np.int64(-1),
+                    "other": ptr["node"].to_numpy(np.int64),
+                    "side": np.int8(3),
+                    "changed": np.int64(0),
                 }
             )
             return pd.concat(
-                [d[d["side"] == 0], new_lab], ignore_index=True
+                [d[d["side"] == 0], new_lab, queries], ignore_index=True
             )
 
-        for _round in range(_D6_MAX_ROUNDS):
+        # uncapped: labels are monotone non-increasing over a finite id
+        # set, so a no-change round (the exit) is guaranteed; pointer
+        # jumping makes the round count O(log diameter)
+        while True:
             half = partitioned_group_agg(
                 state, keys=["node"], final=attach, num_parts=32
             )
@@ -1205,8 +1268,6 @@ def connected_components(
             ).materialize()
             if not state.sum("changed"):
                 break
-        else:
-            raise AssertionError("d6 label propagation did not converge")
 
     labels = state.map_batches(
         lambda b: b.loc[b["side"] == 1, ["node", "label"]],

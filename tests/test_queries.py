@@ -400,3 +400,63 @@ def test_connected_components_clusters_d3b_pairs(ray_session):
     for a, b in zip(injected["doc_a"], injected["doc_b"]):
         assert out.loc[a, "cluster_rep"] == out.loc[b, "cluster_rep"]
         assert out.loc[b, "cluster_size"] >= 2
+
+
+def test_connected_components_long_chain_distributed(ray_session):
+    """Pointer jumping: a duplicate CHAIN much deeper than the old
+    16-round propagation cap must converge in the distributed regime and
+    match the driver union-find exactly (regression: the capped
+    min-label loop raised AssertionError on a 26-node chain)."""
+    import pandas as pd
+    import numpy as np
+    import ray.data as rd
+
+    from simple_crawler_ray.pipelines.dedup import connected_components
+
+    for n in (26, 300):
+        pairs = pd.DataFrame(
+            {
+                "doc_a": np.arange(n - 1, dtype=np.int64),
+                "doc_b": np.arange(1, n, dtype=np.int64),
+            }
+        )
+        nodes = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64)})
+        dist = to_pandas(
+            connected_components(
+                pairs, rd.from_pandas(nodes.copy()), driver_max_nodes=0
+            )
+        ).sort_values("doc_id").reset_index(drop=True)
+        drv = connected_components(
+            pairs, rd.from_pandas(nodes.copy()), driver_max_nodes=10**9
+        ).sort_values("doc_id").reset_index(drop=True)
+        assert dist.values.tolist() == drv.values.tolist()
+        assert (dist["cluster_rep"] == 0).all()
+        assert (dist["cluster_size"] == n).all()
+
+
+def test_connected_components_drops_out_of_universe_edges(ray_session):
+    """Edges naming endpoints outside nodes_ds propose nothing and emit
+    no label rows, identically in both regimes (contract: endpoints ⊆
+    nodes_ds)."""
+    import pandas as pd
+    import numpy as np
+    import ray.data as rd
+
+    from simple_crawler_ray.pipelines.dedup import connected_components
+
+    nodes = pd.DataFrame({"doc_id": np.array([0, 1, 2], dtype=np.int64)})
+    pairs = pd.DataFrame(
+        {
+            "doc_a": np.array([0, 1, 99], dtype=np.int64),
+            "doc_b": np.array([99, 2, 2], dtype=np.int64),
+        }
+    )
+    for dmn in (0, 10**9):
+        out = to_pandas(
+            connected_components(
+                pairs, rd.from_pandas(nodes.copy()), driver_max_nodes=dmn
+            )
+        ).sort_values("doc_id").reset_index(drop=True)
+        assert out["doc_id"].tolist() == [0, 1, 2]
+        assert out["cluster_rep"].tolist() == [0, 1, 1]
+        assert out["cluster_size"].tolist() == [1, 2, 2]
