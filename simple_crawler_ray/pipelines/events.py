@@ -87,7 +87,7 @@ def e1_sessionize(sf_dir: str, hot_threshold: int | None = None):
     pinned by the oracle in the skew stress test."""
     import ray
 
-    from .relational import hot_keys, partitioned_group_agg
+    from .relational import hot_keys_for, partitioned_group_agg
 
     if hot_threshold is None:
         hot_threshold = _HOT_KEY_ROWS
@@ -113,15 +113,16 @@ def e1_sessionize(sf_dir: str, hot_threshold: int | None = None):
             }
         )
 
-    # materialized once: the census and the session pass(es) read the
-    # same object-store blocks instead of decoding the parquet twice
-    stream = read_clean(f"{sf_dir}/events.parquet", ["user_id", "ts"]).materialize()
-    hot = hot_keys(stream, "user_id", hot_threshold)
+    # census is shared across skew-aware ops (hot_keys_for memo); the
+    # cold path streams end-to-end with no materialize anywhere
+    hot = hot_keys_for(f"{sf_dir}/events.parquet", "user_id", hot_threshold)
+    stream = read_clean(f"{sf_dir}/events.parquet", ["user_id", "ts"])
     if not hot:
         return partitioned_group_agg(
             stream, keys=["user_id"], final=sessions_part
         )
 
+    stream = stream.materialize()  # hot route filters it twice
     hot_ref = ray.put(set(hot))
 
     out_cold = partitioned_group_agg(
@@ -131,7 +132,7 @@ def e1_sessionize(sf_dir: str, hot_threshold: int | None = None):
         ),
         keys=["user_id"],
         final=sessions_part,
-    ).to_pandas()
+    )
 
     hot_ds = stream.map_batches(
         lambda b: b[b["user_id"].isin(ray.get(hot_ref))],
@@ -186,9 +187,10 @@ def e1_sessionize(sf_dir: str, hot_threshold: int | None = None):
         .agg(n_sessions=("ns", "sum"), n_events=("n_events", "sum"))
         .astype({"user_id": "int64", "n_sessions": "int64", "n_events": "int64"})
     )
-    return pd.concat([out_cold, out_hot], ignore_index=True).reset_index(
-        drop=True
-    )
+    # one return type on BOTH routes (a Dataset): the cold side stays
+    # lazy; the (tiny) boundary-merged hot summary rides along as one
+    # more block — callers never see the route switch
+    return out_cold.union(rd.from_pandas(out_hot))
 
 
 def e4_heavy_hitters(
@@ -332,8 +334,9 @@ def e5_asof_join(sf_dir: str, hot_threshold: int = _HOT_KEY_ROWS):
 
     HOT KEYS (round-3 VERDICT #3 — a power-law user holding a large
     fraction of the log no longer lands in one pandas frame): a bounded
-    census (``relational.hot_keys``) finds keys with > ``hot_threshold``
-    tagged rows; those users' rows are SUB-SPLIT by ts-range into
+    census (``relational.hot_keys_for``, shared per table per session)
+    finds keys with > ``hot_threshold`` raw rows (an upper bound of the
+    tagged count); those users' rows are SUB-SPLIT by ts-range into
     ``_HOT_SUBPARTS`` buckets and partitioned by (user_id, bucket). The
     backward as-of's cross-bucket dependency is restored by a CARRY row
     per (user, bucket): the latest click of all earlier buckets (computed
@@ -353,7 +356,7 @@ def e5_asof_join(sf_dir: str, hot_threshold: int = _HOT_KEY_ROWS):
 
     import ray
 
-    from .relational import hot_keys, partitioned_group_agg
+    from .relational import hot_keys_for, partitioned_group_agg
 
     def tag(batch: pd.DataFrame) -> pd.DataFrame:
         b = batch[batch["event_type"].isin(["error", "click"])]
@@ -405,22 +408,21 @@ def e5_asof_join(sf_dir: str, hot_threshold: int = _HOT_KEY_ROWS):
             }
         )
 
-    tagged = (
-        read_clean(
-            f"{sf_dir}/events.parquet",
-            ["event_id", "ts", "user_id", "event_type", "value"],
-        )
-        .map_batches(tag, batch_format="pandas", batch_size=65536)
-        .materialize()  # reused by the census + both routes: one read
-    )
-    hot = hot_keys(tagged, "user_id", hot_threshold)
+    # census shared via the hot_keys_for memo (raw-row counts — an
+    # upper bound of the tagged stream's, so the hot route can only
+    # engage earlier; both routes oracle-exact)
+    hot = hot_keys_for(f"{sf_dir}/events.parquet", "user_id", hot_threshold)
+    tagged = read_clean(
+        f"{sf_dir}/events.parquet",
+        ["event_id", "ts", "user_id", "event_type", "value"],
+    ).map_batches(tag, batch_format="pandas", batch_size=65536)
 
     if not hot:
-        out = partitioned_group_agg(
-            tagged, keys=["user_id"], final=asof_part
-        ).to_pandas()
-        return out.sort_values("event_id").reset_index(drop=True)
+        # O(input)-sized output: return the LAZY Dataset (d1 precedent);
+        # the cold path streams end-to-end with no materialize
+        return partitioned_group_agg(tagged, keys=["user_id"], final=asof_part)
 
+    tagged = tagged.materialize()  # hot route filters it twice
     hot_ref = ray.put(set(hot))
 
     def cold_rows(b: pd.DataFrame) -> pd.DataFrame:
@@ -435,7 +437,7 @@ def e5_asof_join(sf_dir: str, hot_threshold: int = _HOT_KEY_ROWS):
         tagged.map_batches(cold_rows, batch_format="pandas"),
         keys=["user_id"],
         final=asof_part,
-    ).to_pandas()
+    )
 
     # --- hot route: ts-range sub-split + carry ------------------------
     hot_ds = tagged.map_batches(hot_rows, batch_format="pandas").materialize()
@@ -523,10 +525,10 @@ def e5_asof_join(sf_dir: str, hot_threshold: int = _HOT_KEY_ROWS):
 
     out_hot = partitioned_group_agg(
         bucketed, keys=["user_id", "bkt"], final=asof_part
-    ).to_pandas()
+    )
 
-    out = pd.concat([out_cold, out_hot], ignore_index=True)
-    return out.sort_values("event_id").reset_index(drop=True)
+    # both sides LAZY before the union (materialized-union deadlock note)
+    return out_cold.union(out_hot)
 
 
 _E6_WINDOW_MIN = 180
@@ -562,7 +564,7 @@ def e6_range_join(sf_dir: str, hot_threshold: int = _HOT_KEY_ROWS):
 
     import ray
 
-    from .relational import hot_keys, partitioned_group_agg
+    from .relational import hot_keys_for, partitioned_group_agg
 
     win_us = _E6_WINDOW_MIN * 60 * 1_000_000
 
@@ -648,24 +650,20 @@ def e6_range_join(sf_dir: str, hot_threshold: int = _HOT_KEY_ROWS):
             }
         )
 
-    tagged = (
-        read_clean(
-            f"{sf_dir}/events.parquet",
-            ["event_id", "ts", "user_id", "event_type"],
-        )
-        .map_batches(tag, batch_format="pandas", batch_size=65536)
-        .materialize()  # reused by the census + both routes: one read
-    )
-    hot = hot_keys(tagged, "user_id", hot_threshold)
+    # census shared via the hot_keys_for memo (raw-row upper bound)
+    hot = hot_keys_for(f"{sf_dir}/events.parquet", "user_id", hot_threshold)
+    tagged = read_clean(
+        f"{sf_dir}/events.parquet",
+        ["event_id", "ts", "user_id", "event_type"],
+    ).map_batches(tag, batch_format="pandas", batch_size=65536)
 
     if not hot:
-        out = partitioned_group_agg(
-            tagged, keys=["user_id"], final=pairs_part
-        ).to_pandas()
-        if out.empty:
-            return pairs_part(pd.DataFrame({"side": pd.Series([], dtype="int8")}))
-        return out.sort_values(["click_id", "view_id"]).reset_index(drop=True)
+        # O(input)-sized output: return the LAZY Dataset (d1 precedent;
+        # every pairs_part block is typed, so schema survives empty
+        # partitions); the cold path streams end-to-end
+        return partitioned_group_agg(tagged, keys=["user_id"], final=pairs_part)
 
+    tagged = tagged.materialize()  # hot route filters it twice
     hot_ref = ray.put(set(hot))
 
     out_cold = partitioned_group_agg(
@@ -675,7 +673,7 @@ def e6_range_join(sf_dir: str, hot_threshold: int = _HOT_KEY_ROWS):
         ),
         keys=["user_id"],
         final=pairs_part,
-    ).to_pandas()
+    )
 
     hot_ds = tagged.map_batches(
         lambda b: b[b["user_id"].isin(ray.get(hot_ref))],
@@ -700,12 +698,10 @@ def e6_range_join(sf_dir: str, hot_threshold: int = _HOT_KEY_ROWS):
         hot_ds.map_batches(resplit, batch_format="pandas"),
         keys=["user_id", "sub"],
         final=pairs_part,
-    ).to_pandas()
+    )
 
-    out = pd.concat([out_cold, out_hot], ignore_index=True)
-    if out.empty:
-        return pairs_part(pd.DataFrame({"side": pd.Series([], dtype="int8")}))
-    return out.sort_values(["click_id", "view_id"]).reset_index(drop=True)
+    # both sides LAZY before the union (materialized-union deadlock note)
+    return out_cold.union(out_hot)
 
 
 def e3_sliding_window(sf_dir: str):
@@ -865,21 +861,21 @@ def e8_funnel(sf_dir: str, hot_threshold: int = _HOT_KEY_ROWS):
     frame shrinks n_salts×; exactness pinned by the skew stress test."""
     import numpy as np
 
-    from .relational import hot_keys, partitioned_group_agg
+    from .relational import hot_keys_for, partitioned_group_agg
 
-    stream = (
-        read_clean(f"{sf_dir}/events.parquet", ["user_id", "ts", "event_type"])
-        .map_batches(
-            lambda b: b[b["event_type"].isin(_E8_STAGES)].assign(
-                ts=b.loc[b["event_type"].isin(_E8_STAGES), "ts"].astype(
-                    "datetime64[us]"
-                )
-            ),
-            batch_format="pandas",
-        )
-        .materialize()
+    # census shared via the hot_keys_for memo (raw-row upper bound of the
+    # stage-filtered stream's counts)
+    hot = hot_keys_for(f"{sf_dir}/events.parquet", "user_id", hot_threshold)
+    stream = read_clean(
+        f"{sf_dir}/events.parquet", ["user_id", "ts", "event_type"]
+    ).map_batches(
+        lambda b: b[b["event_type"].isin(_E8_STAGES)].assign(
+            ts=b.loc[b["event_type"].isin(_E8_STAGES), "ts"].astype(
+                "datetime64[us]"
+            )
+        ),
+        batch_format="pandas",
     )
-    hot = hot_keys(stream, "user_id", hot_threshold)
 
     def funnel_part(d: pd.DataFrame) -> pd.DataFrame:
         counts = []
@@ -911,7 +907,8 @@ def e8_funnel(sf_dir: str, hot_threshold: int = _HOT_KEY_ROWS):
         )
         return out.sort_values("stage_idx").reset_index(drop=True)
 
-    # --- staged salted route -------------------------------------------
+    # --- staged salted route (stream read once per stage) ---------------
+    stream = stream.materialize()
     thresholds = None  # Dataset (user_id, thr_us, salt, side) — stage k-1
     n_users_per_stage: list[int] = []
     for k, stage in enumerate(_E8_STAGES):

@@ -120,6 +120,41 @@ def hot_keys(ds: rd.Dataset, key_col: str, threshold: int) -> dict[int, int]:
     )
 
 
+# session memo of census results, keyed by (realpath, mtime, key_col,
+# threshold): one census per table per session instead of one per
+# skew-aware operator (round-4 VERDICT 'What's wrong' #3 — a bench sweep
+# ran four separate reads+censuses of the same events table)
+_CENSUS_MEMO: dict[tuple, dict[int, int]] = {}
+
+
+def hot_keys_for(path: str, key_col: str, threshold: int) -> dict[int, int]:
+    """Memoized ``hot_keys`` over the CANONICAL single-column projection
+    of a parquet table: every skew-aware operator keyed on the same
+    (table, key, threshold) shares one census pass per session, and the
+    census read ships exactly one column. The count is over RAW table
+    rows per key — operators that pre-filter/pre-aggregate their stream
+    (e5/e6/e8) treat it as an upper-bound skew signal, which only makes
+    the hot route engage earlier; both routes are oracle-exact either
+    way (skew stress tests)."""
+    import os
+
+    rp = os.path.realpath(path)
+    try:
+        mtime = os.path.getmtime(rp)
+    except OSError:
+        mtime = -1.0
+    memo_key = (rp, mtime, key_col, threshold)
+    if memo_key not in _CENSUS_MEMO:
+        from .io import read_clean
+
+        while len(_CENSUS_MEMO) >= 64:
+            _CENSUS_MEMO.pop(next(iter(_CENSUS_MEMO)))
+        _CENSUS_MEMO[memo_key] = hot_keys(
+            read_clean(path, [key_col]), key_col, threshold
+        )
+    return _CENSUS_MEMO[memo_key]
+
+
 # ---------------------------------------------------------------------------
 def q1_pricing_summary(sf_dir: str):
     """TPC-H-Q1-style pricing summary: filter → per-batch partial aggregate →
@@ -674,19 +709,20 @@ def q15_above_customer_avg(sf_dir: str, hot_threshold: int = _Q15_HOT_ROWS):
             }
         )
 
+    hot = hot_keys_for(f"{sf_dir}/orders.parquet", "o_custkey", hot_threshold)
     orders = read_clean(
         f"{sf_dir}/orders.parquet",
         ["o_orderkey", "o_custkey", "o_totalprice"],
-    ).materialize()
-    hot = hot_keys(orders, "o_custkey", hot_threshold)
+    )
 
     if not hot:
-        out = partitioned_group_agg(
-            orders, keys=["o_custkey"], final=final
-        ).to_pandas()
-        return out.sort_values("o_orderkey").reset_index(drop=True)
+        # O(input)-sized output: return the LAZY Dataset (d1 precedent) —
+        # the consumer collects or streams; no driver-side collect+sort,
+        # no materialize anywhere on the common path
+        return partitioned_group_agg(orders, keys=["o_custkey"], final=final)
 
-    # --- salted route -------------------------------------------------
+    # --- salted route (orders read twice → materialize once) -----------
+    orders = orders.materialize()
     def mean_partial(b: pd.DataFrame) -> pd.DataFrame:
         g = b.groupby("o_custkey", as_index=False).agg(
             p_sum=("o_totalprice", "sum"), p_n=("o_totalprice", "size")
@@ -747,12 +783,11 @@ def q15_above_customer_avg(sf_dir: str, hot_threshold: int = _Q15_HOT_ROWS):
             }
         )
 
-    out = partitioned_group_agg(
+    return partitioned_group_agg(
         orders.map_batches(salt_orders, batch_format="pandas").union(means),
         keys=["o_custkey", "salt"],
         final=salted_final,
-    ).to_pandas()
-    return out.sort_values("o_orderkey").reset_index(drop=True)
+    )
 
 
 _Q16_SUBPARTS = 64
@@ -808,18 +843,17 @@ def q16_order_date_lag(sf_dir: str, hot_threshold: int = _Q15_HOT_ROWS):
             out = out[~d["is_carry"].to_numpy(dtype=bool)]
         return out
 
+    hot = hot_keys_for(f"{sf_dir}/orders.parquet", "o_custkey", hot_threshold)
     orders = read_clean(
         f"{sf_dir}/orders.parquet",
         ["o_orderkey", "o_custkey", "o_orderdate"],
-    ).materialize()
-    hot = hot_keys(orders, "o_custkey", hot_threshold)
+    )
 
     if not hot:
-        out = partitioned_group_agg(
-            orders, keys=["o_custkey"], final=lag_frame
-        ).to_pandas()
-        return out.sort_values("o_orderkey").reset_index(drop=True)
+        # O(input)-sized output: return the LAZY Dataset (d1 precedent)
+        return partitioned_group_agg(orders, keys=["o_custkey"], final=lag_frame)
 
+    orders = orders.materialize()  # hot route reads it twice
     hot_ref = ray.put(set(hot))
 
     out_cold = partitioned_group_agg(
@@ -829,7 +863,7 @@ def q16_order_date_lag(sf_dir: str, hot_threshold: int = _Q15_HOT_ROWS):
         ),
         keys=["o_custkey"],
         final=lag_frame,
-    ).to_pandas()
+    )
 
     hot_ds = orders.map_batches(
         lambda b: b[b["o_custkey"].isin(ray.get(hot_ref))].assign(
@@ -904,10 +938,11 @@ def q16_order_date_lag(sf_dir: str, hot_threshold: int = _Q15_HOT_ROWS):
 
     out_hot = partitioned_group_agg(
         hot_in, keys=["o_custkey", "bkt"], final=lag_bucketed
-    ).to_pandas()
+    )
 
-    out = pd.concat([out_cold, out_hot], ignore_index=True)
-    return out.sort_values("o_orderkey").reset_index(drop=True)
+    # both sides are LAZY (never materialized before the union — the
+    # materialized-union executor deadlock, see d6's state notes)
+    return out_cold.union(out_hot)
 
 
 def q17_rollup_revenue(sf_dir: str):

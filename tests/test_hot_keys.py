@@ -9,7 +9,7 @@ import pandas as pd
 import pytest
 
 import __ray_entry__ as entrymod
-from tools.check_oracles import compare
+from tools.check_oracles import compare, to_pandas
 
 
 @pytest.fixture(scope="module")
@@ -73,7 +73,7 @@ def test_e5_asof_hot_route_exact(ray_session, skewed_events_dir):
     from simple_crawler_ray.pipelines.events import e5_asof_join
 
     # threshold far below user 7's ~10k rows → hot route engages
-    ours = e5_asof_join(skewed_events_dir, hot_threshold=500)
+    ours = to_pandas(e5_asof_join(skewed_events_dir, hot_threshold=500))
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW events AS SELECT * FROM "
@@ -90,7 +90,7 @@ def test_e5_asof_hot_route_exact(ray_session, skewed_events_dir):
 def test_e6_range_hot_route_exact(ray_session, skewed_events_dir):
     from simple_crawler_ray.pipelines.events import e6_range_join
 
-    ours = e6_range_join(skewed_events_dir, hot_threshold=500)
+    ours = to_pandas(e6_range_join(skewed_events_dir, hot_threshold=500))
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW events AS SELECT * FROM "
@@ -144,7 +144,7 @@ def test_e8_funnel_hot_route_exact(ray_session, skewed_events_dir):
 def test_q15_salted_route_exact(ray_session, skewed_orders_dir):
     from simple_crawler_ray.pipelines.relational import q15_above_customer_avg
 
-    ours = q15_above_customer_avg(skewed_orders_dir, hot_threshold=500)
+    ours = to_pandas(q15_above_customer_avg(skewed_orders_dir, hot_threshold=500))
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW orders AS SELECT * FROM "
@@ -162,7 +162,7 @@ def test_q16_lag_hot_route_exact(ray_session, skewed_orders_dir):
     bucket cuts and date ties at the cut."""
     from simple_crawler_ray.pipelines.relational import q16_order_date_lag
 
-    ours = q16_order_date_lag(skewed_orders_dir, hot_threshold=500)
+    ours = to_pandas(q16_order_date_lag(skewed_orders_dir, hot_threshold=500))
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW orders AS SELECT * FROM "
