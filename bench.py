@@ -357,6 +357,16 @@ def run_bench(sf_dir: str, num_cpus: int, crawl_only: bool = False) -> dict:
                 out.to_pandas()
             queries[name] = round(time.perf_counter() - t0, 3)
 
+        # d4b with the oracle bound lifted: exact inverted-index pair
+        # mining over the WHOLE documents table (the registry default is
+        # bounded to doc_id<100 for the DuckDB oracle and too small to
+        # mean anything at sf0.1)
+        from simple_crawler_ray.pipelines.dedup import d4b_ngram_jaccard_dist
+
+        t0 = time.perf_counter()
+        d4b_ngram_jaccard_dist(sf_dir, max_doc_id=None).to_pandas()
+        queries["d4b_ngram_jaccard_full"] = round(time.perf_counter() - t0, 3)
+
     result["queries"] = queries
     ray.shutdown()
     return result

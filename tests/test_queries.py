@@ -59,6 +59,23 @@ def test_rows_only_queries_run(ray_session):
         assert df is not None
 
 
+def test_d4b_unbounded_superset(ray_session):
+    """d4b with the oracle bound lifted must reproduce every bounded pair
+    (the bound is a filter, not a semantic knob) and mine strictly more
+    pairs over the full 500-doc corpus."""
+    from simple_crawler_ray.pipelines.dedup import (
+        d4_ngram_jaccard_pairs,
+        d4b_ngram_jaccard_dist,
+    )
+
+    bounded = d4_ngram_jaccard_pairs(SF_DIR)
+    full = to_pandas(d4b_ngram_jaccard_dist(SF_DIR, max_doc_id=None))
+    assert set(zip(bounded["doc_a"], bounded["doc_b"])) <= set(
+        zip(full["doc_a"], full["doc_b"])
+    )
+    assert len(full) > len(bounded)
+
+
 def test_s2_ann_recall_floor(ray_session):
     """Multi-probe LSH must reach recall@10 ≥ 0.9 against the exact
     brute-force top-k on the same table."""
