@@ -530,7 +530,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE jaccard >= 0.01
         """,
         # d4b runs the same contract fully distributed (groupby(shingle)
-        # pair emission + co-partitioned size attach) — same oracle
+        # pair emission, sizes riding row-local) — same oracle
         "d4b_ngram_jaccard_dist": r"""
             WITH words AS (
                 SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w

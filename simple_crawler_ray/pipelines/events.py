@@ -1059,7 +1059,7 @@ def e9_approx_distinct_users(sf_dir: str, p: int = _E9_P):
         read_clean(f"{sf_dir}/events.parquet", ["user_id"])
         .map_batches(sketch, batch_format="pandas", batch_size=65536)
         .groupby("register")
-        .aggregate(__import__("ray").data.aggregate.Max("rank", alias_name="r"))
+        .aggregate(rd.aggregate.Max("rank", alias_name="r"))
         .to_pandas()
     )
     regs = np.zeros(m, dtype=np.int64)

@@ -268,15 +268,68 @@ def q3_segment_revenue(sf_dir: str):
     )
 
 
-def q4_priority_revenue(sf_dir: str):
-    """Large-large hash join: lineitem ⋈ orders on the order key via the
-    native hash-partitioned ``Dataset.join`` (both sides shuffled once on
-    the join key). Each join partition is backed by an aggregator actor
-    (~2 s spin-up each), so num_partitions is sized to the DATA, not a
-    fixed constant: ~1 partition per 500k probe rows, min 4 — at cluster
-    scale this grows toward the core count. The whole lineage runs under
-    ``retry_join_flake`` (io.py) — the intermittent JoinOperator
-    FieldRef flake must not fail an otherwise-exact oracle query."""
+def q4_priority_revenue(sf_dir: str, broadcast_max_build_rows: int = 2_000_000):
+    """lineitem ⋈ orders on the order key, size-switched between two join
+    regimes (round-4 VERDICT 'Next round' #6 — join-aggregator actor
+    spin-up, ~2 s per partition, dominated the bench wall at sf0.1):
+
+    - BROADCAST regime (build side ≤ ``broadcast_max_build_rows``, known
+      from parquet metadata without reading data): the (sorted o_orderkey,
+      priority-code) arrays are ``ray.put`` once; every lineitem batch
+      probes them with vectorized ``searchsorted`` + ``bincount`` partials
+      (≤ n_priorities rows per batch), merged on the driver — zero
+      shuffles, zero join actors.
+    - NATIVE hash-join regime above the bound: both sides shuffled once by
+      the hash-partitioned ``Dataset.join``, partitions sized to the DATA
+      (~1 per 500k probe rows, min 4 — grows toward the core count at
+      cluster scale), retry-wrapped for the intermittent JoinOperator
+      FieldRef flake. Regime parity is pinned in tests."""
+    import numpy as np
+
+    n_build = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    if n_build <= broadcast_max_build_rows:
+        orders = read_clean(
+            f"{sf_dir}/orders.parquet", ["o_orderkey", "o_orderpriority"]
+        ).to_pandas()  # bounded by the regime switch
+        keys = orders["o_orderkey"].to_numpy(np.int64)
+        order = np.argsort(keys, kind="stable")
+        cat = orders["o_orderpriority"].astype("category")
+        cats = list(cat.cat.categories)
+        build_ref = ray.put((keys[order], cat.cat.codes.to_numpy(np.int64)[order]))
+
+        def probe(batch: pd.DataFrame) -> pd.DataFrame:
+            bkeys, bcodes = ray.get(build_ref)
+            lk = batch["l_orderkey"].to_numpy(np.int64)
+            idx = np.clip(np.searchsorted(bkeys, lk), 0, len(bkeys) - 1)
+            ok = bkeys[idx] == lk  # inner-join semantics
+            rev = (
+                batch["l_extendedprice"] * (1 - batch["l_discount"])
+            ).to_numpy(np.float64)[ok]
+            code = bcodes[idx[ok]]
+            return pd.DataFrame(
+                {
+                    "code": np.arange(len(cats), dtype=np.int64),
+                    "p_rev": np.bincount(code, weights=rev, minlength=len(cats)),
+                    "p_n": np.bincount(code, minlength=len(cats)).astype("int64"),
+                }
+            )
+
+        partials = (
+            _li(sf_dir, ["l_orderkey", "l_extendedprice", "l_discount"])
+            .map_batches(probe, batch_format="pandas", batch_size=65536)
+            .to_pandas()  # ≤ n_priorities rows per batch — driver-bounded
+        )
+        agg = partials.groupby("code", as_index=False).agg(
+            rev=("p_rev", "sum"), n=("p_n", "sum")
+        )
+        agg = agg[agg["n"] > 0]
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [cats[c] for c in agg["code"]],
+                "revenue": agg["rev"].round(4),
+                "n_items": agg["n"].astype("int64"),
+            }
+        ).reset_index(drop=True)
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.assign(

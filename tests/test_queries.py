@@ -3,6 +3,7 @@ with an oracle_sql() are compared against DuckDB exactly (the same
 row-count/schema/value comparison the driver applies)."""
 
 import duckdb
+import pandas as pd
 import pytest
 
 import __ray_entry__ as entrymod
@@ -57,6 +58,22 @@ def test_rows_only_queries_run(ray_session):
     for name in ("d2_minhash_lsh", "d3_simhash", "s2_ann_lsh"):
         df = to_pandas(qs[name](SF_DIR))
         assert df is not None
+
+
+def test_q4_join_regimes_agree(ray_session):
+    """q4's size-switched join: the broadcast-build regime (default at
+    test scale) and the native hash-partitioned Dataset.join regime
+    (forced via broadcast_max_build_rows=0) must produce identical
+    output."""
+    from simple_crawler_ray.pipelines.relational import q4_priority_revenue
+
+    bcast = q4_priority_revenue(SF_DIR)
+    native = q4_priority_revenue(SF_DIR, broadcast_max_build_rows=0)
+    key = "o_orderpriority"
+    pd.testing.assert_frame_equal(
+        bcast.sort_values(key).reset_index(drop=True),
+        native.sort_values(key).reset_index(drop=True),
+    )
 
 
 def test_d4b_unbounded_superset(ray_session):
