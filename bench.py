@@ -367,6 +367,15 @@ def run_bench(sf_dir: str, num_cpus: int, crawl_only: bool = False) -> dict:
         d4b_ngram_jaccard_dist(sf_dir, max_doc_id=None).to_pandas()
         queries["d4b_ngram_jaccard_full"] = round(time.perf_counter() - t0, 3)
 
+        # the full dedup composite: distributed pair mining (d4b) →
+        # connected components (d6) → corpus filter keeping one doc per
+        # cluster (d7), whole documents table, near-dup threshold 0.5
+        from simple_crawler_ray.pipelines.dedup import d7_dedup_apply
+
+        t0 = time.perf_counter()
+        d7_dedup_apply(sf_dir, threshold=0.5, max_doc_id=None).to_pandas()
+        queries["d7_dedup_apply_full"] = round(time.perf_counter() - t0, 3)
+
     result["queries"] = queries
     ray.shutdown()
     return result

@@ -39,6 +39,7 @@ __all__ = [
     "d5_embedding_cosine_pairs",
     "d5b_embedding_lsh_pairs",
     "d6_neardup_clusters",
+    "d7_dedup_apply",
     "connected_components",
     "word_shingles",
     "minhash_signature",
@@ -1106,7 +1107,7 @@ _D6_DRIVER_MAX_NODES = 100_000
 def d6_neardup_clusters(
     sf_dir: str,
     threshold: float = 0.01,
-    max_doc_id: int = 100,
+    max_doc_id: int | None = 100,
     driver_max_nodes: int = _D6_DRIVER_MAX_NODES,
 ):
     """Near-duplicate CLUSTER canonicalization: connected components over
@@ -1156,11 +1157,18 @@ def d6_neardup_clusters(
     runs the identical clustering (asserted by a test that recovers the
     injected near-dup pairs as 2-clusters).
     """
-    pairs = d4_ngram_jaccard_pairs(sf_dir, threshold, max_doc_id)
-    docs = read_clean(f"{sf_dir}/documents.parquet", ["doc_id"]).map_batches(
-        lambda t: t.filter(pa.compute.less(t["doc_id"], max_doc_id)),
-        batch_format="pyarrow",
-    )
+    docs = read_clean(f"{sf_dir}/documents.parquet", ["doc_id"])
+    if max_doc_id is None:
+        # unbounded: pairs mined by the fully distributed d4b; the edge
+        # frame collected here is O(qualifying near-dup pairs), the
+        # contract connected_components declares — never O(corpus)
+        pairs = d4b_ngram_jaccard_dist(sf_dir, threshold, None).to_pandas()
+    else:
+        pairs = d4_ngram_jaccard_pairs(sf_dir, threshold, max_doc_id)
+        docs = docs.map_batches(
+            lambda t: t.filter(pa.compute.less(t["doc_id"], max_doc_id)),
+            batch_format="pyarrow",
+        )
     return connected_components(
         pairs[["doc_a", "doc_b"]], docs, driver_max_nodes=driver_max_nodes
     )
@@ -1380,3 +1388,55 @@ def connected_components(
         return out
 
     return partitioned_group_agg(labels, keys=["label"], final=size_part)
+
+
+def d7_dedup_apply(sf_dir: str, threshold: float = 0.01, max_doc_id: int = 100):
+    """Near-dup dedup APPLY — the step a training-data pipeline actually
+    runs after clustering: keep exactly one representative document per
+    near-duplicate cluster and drop the rest, returning the SURVIVING
+    corpus rows (doc_id, text).
+
+    Shape: the d6 label table (doc_id, cluster_rep — one row per universe
+    doc, singletons labeled with themselves) is filtered to
+    self-representatives (an Arrow column compare, no state), then
+    SEMI-JOINED back to the documents rows by a doc-keyed tagged-union
+    co-partition (the q13 shape): document rows side 0 and surviving-id
+    rows side 1 land in the same partition, where one vectorized ``isin``
+    keeps the survivors. No id set is ever collected or broadcast — both
+    sides stream through one shuffle, so the filter works at any corpus
+    size; output is a lazy Dataset of O(survivors) rows."""
+    from .relational import partitioned_group_agg
+
+    labels = d6_neardup_clusters(sf_dir, threshold, max_doc_id)
+    if isinstance(labels, pd.DataFrame):  # d6's driver-union-find regime
+        labels = rd.from_pandas(labels[["doc_id", "cluster_rep"]])
+    keep_ids = labels.map_batches(
+        lambda t: t.filter(
+            pa.compute.equal(t["doc_id"], t["cluster_rep"])
+        ).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+
+    docs = read_clean(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
+    if max_doc_id is not None:
+        docs = docs.map_batches(
+            lambda t: t.filter(pa.compute.less(t["doc_id"], max_doc_id)),
+            batch_format="pyarrow",
+        )
+
+    def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(tag=np.int64(0))
+
+    def tag_keep(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(text="", tag=np.int64(1))[["doc_id", "text", "tag"]]
+
+    unioned = docs.map_batches(tag_docs, batch_format="pandas").union(
+        keep_ids.map_batches(tag_keep, batch_format="pandas")
+    )
+
+    def semi_join(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df.loc[df["tag"] == 1, "doc_id"]
+        out = df.loc[(df["tag"] == 0) & df["doc_id"].isin(set(keep))]
+        return out[["doc_id", "text"]].astype({"doc_id": "int64"})
+
+    return partitioned_group_agg(unioned, keys=["doc_id"], final=semi_join)

@@ -1040,8 +1040,11 @@ def e9_approx_distinct_users(sf_dir: str, p: int = _E9_P):
         bl[w > 0] += 1
         return bl
 
-    def sketch(batch: pd.DataFrame) -> pd.DataFrame:
-        h = _splitmix64(batch["user_id"].to_numpy(np.int64).view(np.uint64))
+    import pyarrow as pa
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        ids = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _splitmix64(ids.view(np.uint64))
         reg = (h >> np.uint64(64 - p)).astype(np.int64)
         # w = the (64-p)-bit suffix, pre-shifted into the high bits so
         # leading zeros read off a 64-bit bit_length; rank = lz + 1,
@@ -1051,13 +1054,16 @@ def e9_approx_distinct_users(sf_dir: str, p: int = _E9_P):
         regs = np.zeros(m, dtype=np.int64)
         np.maximum.at(regs, reg, rank)
         nz = np.nonzero(regs)[0]
-        return pd.DataFrame(
-            {"register": nz.astype("int64"), "rank": regs[nz].astype("int64")}
+        return pa.table(
+            {
+                "register": pa.array(nz.astype("int64"), pa.int64()),
+                "rank": pa.array(regs[nz].astype("int64"), pa.int64()),
+            }
         )
 
     merged = (
         read_clean(f"{sf_dir}/events.parquet", ["user_id"])
-        .map_batches(sketch, batch_format="pandas", batch_size=65536)
+        .map_batches(sketch, batch_format="pyarrow", batch_size=65536)
         .groupby("register")
         .aggregate(rd.aggregate.Max("rank", alias_name="r"))
         .to_pandas()

@@ -1053,17 +1053,21 @@ def q18_pivot_hourly(sf_dir: str):
     wide-column set must be KNOWN/fixed — the relational pivot
     restriction — so unexpected types fail loudly)."""
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        g = (
-            batch.assign(hour=batch["ts"].dt.hour.astype("int64"))
-            .groupby(["hour", "event_type"], as_index=False)
-            .size()
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "hour": pc.cast(pc.hour(batch["ts"]), pa.int64()),
+                "event_type": batch["event_type"],
+            }
         )
-        return g.rename(columns={"size": "p_n"})
+        g = t.group_by(["hour", "event_type"]).aggregate([([], "count_all")])
+        return g.select(["hour", "event_type", "count_all"]).rename_columns(
+            ["hour", "event_type", "p_n"]
+        )
 
     agg = (
         read_clean(f"{sf_dir}/events.parquet", ["ts", "event_type"])
-        .map_batches(partial, batch_format="pandas", batch_size=65536)
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
         .groupby(["hour", "event_type"])
         .aggregate(Sum("p_n", alias_name="n"))
         .to_pandas()
