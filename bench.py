@@ -325,6 +325,7 @@ def run_bench(sf_dir: str, num_cpus: int, crawl_only: bool = False) -> dict:
             "q16_order_date_lag",
             "q18_pivot_hourly",
             "q19_left_join_order_counts",
+            "q20_running_revenue",
             "t2_quality_score",
             "t10_top_terms",
             "d1_exact_dedup",
@@ -348,6 +349,7 @@ def run_bench(sf_dir: str, num_cpus: int, crawl_only: bool = False) -> dict:
             "t6_train_val_split",
             "t7_topk_per_lang",
             "t9_term_salience",
+            "t11_quota_sample",
             "m1_binary_features",
         ):
             t0 = time.perf_counter()

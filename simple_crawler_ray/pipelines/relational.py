@@ -34,6 +34,7 @@ __all__ = [
     "q16_order_date_lag",
     "q18_pivot_hourly",
     "q19_left_join_order_counts",
+    "q20_running_revenue",
     "q17_rollup_revenue",
     "q1_pricing_summary",
     "q2_topk_orders",
@@ -1147,3 +1148,143 @@ def q19_left_join_order_counts(sf_dir: str):
         cust.union(orders), keys=["key"], final=left_merge
     ).to_pandas()
     return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def q20_running_revenue(sf_dir: str, hot_threshold: int = _Q15_HOT_ROWS):
+    """WINDOW FUNCTION (running sum) over a partitioned stream: each
+    order's cumulative revenue for its customer in (date, orderkey)
+    order — the ``SUM() OVER (PARTITION BY key ORDER BY ... ROWS
+    UNBOUNDED PRECEDING)`` operator class. Revenue is carried as integer
+    CENTS (``round(price*100)`` int64) so the prefix sums are bit-exact
+    in BOTH engines regardless of accumulation order — float prefix sums
+    are order-sensitive at the ulp level, which a value-hash compare
+    would see.
+
+    Dataflow form: co-partition by the window key, then one vectorized
+    pass per partition (mergesort + per-key ``cumsum``); output is
+    O(input) so the cold route returns the LAZY Dataset (d1 precedent).
+
+    HOT KEYS: unlike lag (q16), cumsum's cross-row dependency is the
+    ENTIRE prefix, so a hot key sub-splits by day-range bucket with a
+    PER-BUCKET OFFSET instead of a one-row carry: per-(key, bucket) sums
+    are tiny by construction (≤ n_hot × subparts rows reach the driver),
+    an exclusive prefix over each key's occupied buckets gives every
+    bucket its starting offset, and the broadcast offset table is merged
+    into each (key, bucket) partition after its local cumsum. Exact
+    under one-key-50% skew (stress test, tests/test_hot_keys.py)."""
+    import numpy as np
+
+    def cents_of(s: pd.Series) -> np.ndarray:
+        return np.round(s.to_numpy(dtype="float64") * 100.0).astype("int64")
+
+    def run_frame(d: pd.DataFrame) -> pd.DataFrame:
+        d = d.sort_values(
+            ["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort"
+        )
+        run = (
+            pd.Series(cents_of(d["o_totalprice"]), index=d.index)
+            .groupby(d["o_custkey"], sort=False)
+            .cumsum()
+        )
+        return pd.DataFrame(
+            {
+                "o_orderkey": d["o_orderkey"].astype("int64"),
+                "o_custkey": d["o_custkey"].astype("int64"),
+                "running_cents": run.astype("int64"),
+            }
+        )
+
+    hot = hot_keys_for(f"{sf_dir}/orders.parquet", "o_custkey", hot_threshold)
+    orders = read_clean(
+        f"{sf_dir}/orders.parquet",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    if not hot:
+        return partitioned_group_agg(orders, keys=["o_custkey"], final=run_frame)
+
+    orders = orders.materialize()  # hot route reads it twice
+    hot_ref = ray.put(set(hot))
+
+    out_cold = partitioned_group_agg(
+        orders.map_batches(
+            lambda b: b[~b["o_custkey"].isin(ray.get(hot_ref))],
+            batch_format="pandas",
+        ),
+        keys=["o_custkey"],
+        final=run_frame,
+    )
+
+    hot_ds = orders.map_batches(
+        lambda b: b[b["o_custkey"].isin(ray.get(hot_ref))],
+        batch_format="pandas",
+    ).materialize()
+    from ray.data.aggregate import Max, Min
+
+    bounds = hot_ds.aggregate(Min("o_orderdate"), Max("o_orderdate"))
+    d_min = pd.Timestamp(bounds["min(o_orderdate)"]).value // 1000
+    d_max = pd.Timestamp(bounds["max(o_orderdate)"]).value // 1000
+    span = max(1, (d_max - d_min) // _Q16_SUBPARTS + 1)
+
+    def add_bkt(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["o_orderdate"].astype("datetime64[us]").astype("int64")
+        return b.assign(bkt=((us - d_min) // span).astype("int64"))
+
+    bucketed = hot_ds.map_batches(add_bkt, batch_format="pandas")
+
+    # per-(key, occupied bucket) SUM — bounded by n_hot × subparts rows;
+    # the exclusive prefix over each key's occupied buckets is the
+    # bucket's starting offset (one tiny groupby + shifted cumsum)
+    def sum_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.assign(p_c=cents_of(b["o_totalprice"])).groupby(
+            ["o_custkey", "bkt"], as_index=False
+        )["p_c"].sum()
+        return g
+
+    bsums = (
+        bucketed.map_batches(sum_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(["o_custkey", "bkt"], as_index=False)["p_c"]
+        .sum()
+        .sort_values(["o_custkey", "bkt"], kind="mergesort")
+    )
+    csum = bsums.groupby("o_custkey", sort=False)["p_c"].cumsum()
+    offsets = pd.DataFrame(
+        {
+            "o_custkey": bsums["o_custkey"].astype("int64"),
+            "bkt": bsums["bkt"].astype("int64"),
+            "offset": (csum - bsums["p_c"]).astype("int64"),
+        }
+    )
+    off_ref = ray.put(offsets)
+
+    def run_bucketed(d: pd.DataFrame) -> pd.DataFrame:
+        # a coarse partition holds MANY (key, bucket) groups — possibly
+        # several buckets of the same key — so the local cumsum groups by
+        # (key, bucket); each bucket's prefix before its first row comes
+        # entirely from its offset row (how="left" preserves row order)
+        d = d.sort_values(
+            ["o_custkey", "bkt", "o_orderdate", "o_orderkey"], kind="mergesort"
+        ).merge(ray.get(off_ref), on=["o_custkey", "bkt"], how="left")
+        local = (
+            pd.Series(cents_of(d["o_totalprice"]), index=d.index)
+            .groupby([d["o_custkey"], d["bkt"]], sort=False)
+            .cumsum()
+            .to_numpy()
+        )
+        return pd.DataFrame(
+            {
+                "o_orderkey": d["o_orderkey"].astype("int64"),
+                "o_custkey": d["o_custkey"].astype("int64"),
+                "running_cents": (
+                    local + d["offset"].fillna(0).to_numpy(dtype="int64")
+                ).astype("int64"),
+            }
+        )
+
+    out_hot = partitioned_group_agg(
+        bucketed, keys=["o_custkey", "bkt"], final=run_bucketed
+    )
+
+    # both sides LAZY before the union (materialized-union deadlock, d6)
+    return out_cold.union(out_hot)

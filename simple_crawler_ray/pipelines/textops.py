@@ -33,6 +33,7 @@ __all__ = [
     "t8_normalize_text",
     "t9_term_salience",
     "t10_top_terms",
+    "t11_quota_sample",
 ]
 
 # stopword markers per language (tiny n-gram/stopword heuristic; the texts
@@ -448,3 +449,55 @@ def t10_top_terms(sf_dir: str, k: int = 20):
     )
     out["rank"] = np.arange(1, len(out) + 1, dtype="int64")
     return out[["rank", "term", "n"]]
+
+
+def t11_quota_sample(sf_dir: str, k: int = 4, batch_size: int = 8192):
+    """Deterministic per-stratum quota sampling — the data-MIXING
+    primitive of a training-data pipeline: keep exactly k
+    uniformly-pseudo-random documents per language, stable across runs,
+    batch layouts and cluster sizes. The sample key is a Knuth
+    multiplicative hash of doc_id (``doc_id * 2654435761 mod 2^32``,
+    computed in wrapping uint64 — exact at ANY corpus size because
+    2^32 divides 2^64), so there is no RNG state to seed or ship and
+    the DuckDB oracle orders by the literal same arithmetic. Same
+    no-global-sort shape as t7: each batch keeps its LOCAL k smallest
+    (h, doc_id) per lang (≤ k × n_langs rows leave any batch), the
+    driver merges the bounded survivor set. Weighted mixtures are the
+    same op with a per-stratum k."""
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy()
+        h = (
+            (ids.astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(1 << 32)
+        ).astype("int64")
+        df = pd.DataFrame(
+            {"lang": batch["lang"].to_pandas(), "doc_id": ids, "h": h}
+        )
+        return (
+            df.sort_values(["h", "doc_id"]).groupby("lang", sort=False).head(k)
+        )
+
+    parts = (
+        _docs(sf_dir, ["doc_id", "lang"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+        .to_pandas()
+    )
+    top = (
+        parts.sort_values(["h", "doc_id"])
+        .groupby("lang", sort=False)
+        .head(k)
+        .sort_values(["lang", "h", "doc_id"])
+        .reset_index(drop=True)
+    )
+    top["sample_rank"] = (top.groupby("lang", sort=False).cumcount() + 1).astype(
+        "int64"
+    )
+    return pd.DataFrame(
+        {
+            "lang": top["lang"],
+            "doc_id": top["doc_id"].astype("int64"),
+            "sample_rank": top["sample_rank"],
+        }
+    )

@@ -174,6 +174,26 @@ def test_q16_lag_hot_route_exact(ray_session, skewed_orders_dir):
     assert (ours["o_custkey"] == 3).sum() > 500
 
 
+def test_q20_running_hot_route_exact(ray_session, skewed_orders_dir):
+    """Running sum under skew: the day-bucket sub-split must seed every
+    bucket with the exclusive-prefix offset of the key's earlier buckets
+    — including several buckets of one key hashing into one coarse
+    partition — and match the window-function oracle bit-exactly (the
+    integer-cents representation makes prefix sums order-insensitive)."""
+    from simple_crawler_ray.pipelines.relational import q20_running_revenue
+
+    ours = to_pandas(q20_running_revenue(skewed_orders_dir, hot_threshold=500))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{skewed_orders_dir}/orders.parquet')"
+    )
+    oracle = _oracle(con, entrymod.oracle_sql()["q20_running_revenue"])
+    problems = compare("q20_hot", ours, oracle)
+    assert not problems, problems
+    assert (ours["o_custkey"] == 3).sum() > 500
+
+
 def test_hot_key_census_bounded(ray_session, skewed_events_dir):
     """hot_keys returns exactly the above-threshold keys and nothing else."""
     import ray.data as rd

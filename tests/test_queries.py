@@ -494,3 +494,19 @@ def test_connected_components_drops_out_of_universe_edges(ray_session):
         assert out["doc_id"].tolist() == [0, 1, 2]
         assert out["cluster_rep"].tolist() == [0, 1, 1]
         assert out["cluster_size"].tolist() == [1, 2, 2]
+
+
+def test_t11_quota_sample_layout_invariant(ray_session, con):
+    """The quota sample is a pure function of (doc_id, lang): forcing many
+    tiny batches (so the per-batch partial top-k and the driver merge both
+    do real work) must produce the identical sample as the oracle and as
+    the default layout."""
+    from simple_crawler_ray.pipelines.textops import t11_quota_sample
+
+    default = t11_quota_sample(SF_DIR)
+    tiny = t11_quota_sample(SF_DIR, batch_size=16)
+    pd.testing.assert_frame_equal(default, tiny)
+    oracle = con.execute(entrymod.oracle_sql()["t11_quota_sample"]).fetchdf()
+    problems = compare("t11_tiny", tiny, oracle)
+    assert not problems, problems
+    assert (tiny.groupby("lang")["doc_id"].size() == 4).all()
