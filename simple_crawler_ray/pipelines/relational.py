@@ -1241,11 +1241,18 @@ def q20_running_revenue(sf_dir: str, hot_threshold: int = _Q15_HOT_ROWS):
         )["p_c"].sum()
         return g
 
+    def sum_final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["o_custkey", "bkt"], as_index=False)["p_c"].sum()
+
+    # distributed combine first: the driver receives EXACTLY one row per
+    # (hot key, occupied bucket) — n_hot × subparts — not per-batch partials
     bsums = (
-        bucketed.map_batches(sum_partial, batch_format="pandas")
+        partitioned_group_agg(
+            bucketed.map_batches(sum_partial, batch_format="pandas"),
+            ["o_custkey", "bkt"],
+            sum_final,
+        )
         .to_pandas()
-        .groupby(["o_custkey", "bkt"], as_index=False)["p_c"]
-        .sum()
         .sort_values(["o_custkey", "bkt"], kind="mergesort")
     )
     csum = bsums.groupby("o_custkey", sort=False)["p_c"].cumsum()
