@@ -319,6 +319,7 @@ def run_bench(sf_dir: str, num_cpus: int, crawl_only: bool = False) -> dict:
             "q4_priority_revenue",
             "q8_hourly_events",
             "q12_price_quantiles",
+            "q12b_approx_quantiles",
             "q13_customers_without_orders",
             "q14_grouped_quantiles",
             "q15_above_customer_avg",

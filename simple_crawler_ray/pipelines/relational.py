@@ -48,6 +48,7 @@ __all__ = [
     "q10_above_avg_customers",
     "q11_value_extremes",
     "q12_price_quantiles",
+    "q12b_approx_quantiles",
     "q13_customers_without_orders",
     "q14_grouped_quantiles",
     "q15_above_customer_avg",
@@ -1295,3 +1296,76 @@ def q20_running_revenue(sf_dir: str, hot_threshold: int = _Q15_HOT_ROWS):
 
     # both sides LAZY before the union (materialized-union deadlock, d6)
     return out_cold.union(out_hot)
+
+
+def q12b_approx_quantiles(sf_dir: str, n_bins: int = 256):
+    """APPROXIMATE distributed quantiles via a mergeable equi-width
+    histogram — the O(bins)-state sibling of q12's exact value-counts
+    (whose state is O(distinct values): fine for 2-decimal prices,
+    unbounded for continuous measures). Two narrow scans of one column —
+    (min, max, n), then per-batch ``np.bincount`` into FIXED global bin
+    edges — and the per-batch count vectors are mergeable by plain
+    addition, so the combine is a 256-row shuffle no matter how many
+    rows streamed by (the e9-HyperLogLog pattern, for ranks instead of
+    distincts).
+
+    The estimate is the LOWER EDGE of the bin holding rank ceil(q*n):
+    bin choice is integer arithmetic on exact int64 counts, and the edge
+    ``mn + k*w`` is one float multiply-add evaluated identically by
+    numpy and the DuckDB oracle (both IEEE-754 doubles, same operation
+    order), so the result hashes bit-exact despite being a float —
+    while the error vs the TRUE quantile is ≤ one bin width by
+    construction (gated against exact q12 in tests)."""
+    import numpy as np
+
+    from ray.data.aggregate import Max, Min
+
+    col = read_clean(f"{sf_dir}/orders.parquet", ["o_totalprice"])
+    stats = col.aggregate(
+        Min("o_totalprice"), Max("o_totalprice"), Count()
+    )
+    mn = float(stats["min(o_totalprice)"])
+    mx = float(stats["max(o_totalprice)"])
+    n = int(stats["count()"])
+    w = (mx - mn) / n_bins
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch["o_totalprice"].to_numpy(dtype="float64")
+        # truncation == floor for the non-negative (v - mn) / w
+        idx = np.minimum(((v - mn) / w).astype("int64"), n_bins - 1)
+        return pd.DataFrame(
+            {
+                "bin": np.arange(n_bins, dtype="int64"),
+                "c": np.bincount(idx, minlength=n_bins).astype("int64"),
+            }
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("bin", as_index=False)["c"].sum()
+
+    hist = (
+        partitioned_group_agg(
+            col.map_batches(partial, batch_format="pandas", batch_size=65536),
+            ["bin"],
+            combine,
+        )
+        .to_pandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    cum = hist["c"].cumsum().to_numpy()
+    bins = hist["bin"].to_numpy()
+
+    def q_edge(q: float) -> float:
+        rank = max(1, int(np.ceil(q * n)))
+        k = int(bins[int(np.searchsorted(cum, rank, side="left"))])
+        return mn + k * w
+
+    return pd.DataFrame(
+        {
+            "p50": [q_edge(0.5)],
+            "p90": [q_edge(0.9)],
+            "p99": [q_edge(0.99)],
+            "n_orders": [n],
+        }
+    )

@@ -510,3 +510,26 @@ def test_t11_quota_sample_layout_invariant(ray_session, con):
     problems = compare("t11_tiny", tiny, oracle)
     assert not problems, problems
     assert (tiny.groupby("lang")["doc_id"].size() == 4).all()
+
+
+def test_q12b_within_one_bin_of_exact(ray_session):
+    """The histogram estimate is the lower edge of the bin holding the
+    target rank, so it must sit within one bin width BELOW-or-AT the
+    exact quantile (which lives inside that bin)."""
+    from simple_crawler_ray.pipelines.relational import (
+        q12_price_quantiles,
+        q12b_approx_quantiles,
+    )
+
+    exact = q12_price_quantiles(SF_DIR).iloc[0]
+    approx = q12b_approx_quantiles(SF_DIR, n_bins=256).iloc[0]
+    import pyarrow.parquet as pq
+
+    col = pq.read_table(
+        f"{SF_DIR}/orders.parquet", columns=["o_totalprice"]
+    )["o_totalprice"].to_numpy()
+    w = (col.max() - col.min()) / 256
+    for p in ("p50", "p90", "p99"):
+        assert approx[p] <= exact[p] + 1e-9, (p, approx[p], exact[p])
+        assert exact[p] - approx[p] <= w + 1e-9, (p, approx[p], exact[p], w)
+    assert int(approx["n_orders"]) == int(exact["n_orders"])
