@@ -219,8 +219,12 @@ def t7_topk_per_lang(sf_dir: str, k: int = 3):
     token count, doc_id tie-break) per language — the 'keep the best N
     per stratum' curation op. Same no-global-sort shape as q2/s1: each
     batch keeps its LOCAL top-k per lang (≤ k × n_langs rows leave any
-    batch), the driver merges the tiny survivor set. No shuffle of the
-    documents table at any point."""
+    batch), a lang-keyed combine collapses the partials distributedly
+    (all of a lang's candidates land in one partition), and the driver
+    merges at most n_langs × k survivor rows — bounded regardless of
+    how many batches streamed by. The documents table itself is never
+    shuffled."""
+    from .relational import partitioned_group_agg
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         df = pd.DataFrame(
@@ -236,11 +240,20 @@ def t7_topk_per_lang(sf_dir: str, k: int = 3):
             .head(k)
         )
 
-    parts = (
-        _docs(sf_dir, ["doc_id", "lang", "text"])
-        .map_batches(partial, batch_format="pyarrow", batch_size=4096)
-        .to_pandas()
-    )
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["n_tokens", "doc_id"], ascending=[False, True])
+            .groupby("lang", sort=False)
+            .head(k)
+        )
+
+    parts = partitioned_group_agg(
+        _docs(sf_dir, ["doc_id", "lang", "text"]).map_batches(
+            partial, batch_format="pyarrow", batch_size=4096
+        ),
+        ["lang"],
+        combine,
+    ).to_pandas()
     top = (
         parts.sort_values(["n_tokens", "doc_id"], ascending=[False, True])
         .groupby("lang", sort=False)
@@ -461,10 +474,14 @@ def t11_quota_sample(sf_dir: str, k: int = 4, batch_size: int = 8192):
     2^32 divides 2^64), so there is no RNG state to seed or ship and
     the DuckDB oracle orders by the literal same arithmetic. Same
     no-global-sort shape as t7: each batch keeps its LOCAL k smallest
-    (h, doc_id) per lang (≤ k × n_langs rows leave any batch), the
-    driver merges the bounded survivor set. Weighted mixtures are the
-    same op with a per-stratum k."""
+    (h, doc_id) per lang (≤ k × n_langs rows leave any batch), a
+    lang-keyed combine collapses the partials distributedly, and the
+    driver merges at most n_langs × k survivor rows — bounded
+    regardless of batch count. Weighted mixtures are the same op with
+    a per-stratum k."""
     import numpy as np
+
+    from .relational import partitioned_group_agg
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy()
@@ -479,11 +496,18 @@ def t11_quota_sample(sf_dir: str, k: int = 4, batch_size: int = 8192):
             df.sort_values(["h", "doc_id"]).groupby("lang", sort=False).head(k)
         )
 
-    parts = (
-        _docs(sf_dir, ["doc_id", "lang"])
-        .map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
-        .to_pandas()
-    )
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["h", "doc_id"]).groupby("lang", sort=False).head(k)
+        )
+
+    parts = partitioned_group_agg(
+        _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+            partial, batch_format="pyarrow", batch_size=batch_size
+        ),
+        ["lang"],
+        combine,
+    ).to_pandas()
     top = (
         parts.sort_values(["h", "doc_id"])
         .groupby("lang", sort=False)
