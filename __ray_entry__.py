@@ -118,9 +118,13 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-                   round(avg(l_discount), 6) AS avg_disc,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) / 100.0 AS sum_base_price,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                        AS BIGINT) / 10000.0 AS sum_disc_price,
+                   round((CAST(sum(CAST(round(l_discount * 100) AS BIGINT))
+                               AS BIGINT) / 100.0) / count(*), 6) AS avg_disc,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -134,21 +138,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q3_segment_revenue": """
             SELECT c_mktsegment,
-                   round(sum(o_totalprice), 2) AS total_revenue,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) / 100.0 AS total_revenue,
                    count(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
         """,
         "q4_priority_revenue": """
             SELECT o_orderpriority,
-                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                        AS BIGINT) / 10000.0 AS revenue,
                    count(*) AS n_items
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
         """,
         "q5_region_acctbal": """
             SELECT r_name,
-                   round(sum(c_acctbal), 2) AS total_acctbal,
+                   CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                        AS BIGINT) / 100.0 AS total_acctbal,
                    count(*) AS n_customers
             FROM customer
             JOIN nation ON c_nationkey = n_nationkey
@@ -156,7 +164,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY r_name
         """,
         "q6_forecast_revenue": """
-            SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+            SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                             * CAST(round(l_discount * 100) AS BIGINT))
+                        AS BIGINT) / 10000.0 AS revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -170,7 +180,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
                    count(*) AS n_events,
-                   round(sum(value), 4) AS sum_value
+                   round(sum(value), 2) AS sum_value
             FROM events
             GROUP BY event_type, date_trunc('hour', ts)
         """,
@@ -179,7 +189,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) - 3600 * k.k
                        AS window_epoch,
                    count(*) AS n_events,
-                   round(sum(value), 4) AS sum_value
+                   round(sum(value), 2) AS sum_value
             FROM events CROSS JOIN (VALUES (0), (1), (2)) AS k(k)
             GROUP BY 1, 2
         """,
@@ -202,12 +212,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    round(min(value), 6) AS min_value,
                    round(max(value), 6) AS max_value,
-                   round(sum(value), 4) AS sum_value,
+                   round(sum(value), 2) AS sum_value,
                    count(*) AS n
             FROM events GROUP BY event_type
         """,
         "e2_topk_users": """
-            SELECT user_id, round(sum(value), 4) AS total_value,
+            SELECT user_id, round(sum(value), 2) AS total_value,
                    count(*) AS n_events
             FROM events GROUP BY user_id
             ORDER BY sum(value) DESC, user_id

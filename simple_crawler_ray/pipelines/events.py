@@ -57,7 +57,7 @@ def e2_topk_users(sf_dir: str):
     return pd.DataFrame(
         {
             "user_id": agg["user_id"].astype("int64"),
-            "total_value": agg["total"].round(4),
+            "total_value": agg["total"].round(2),
             "n_events": agg["n"].astype("int64"),
         }
     )
@@ -754,7 +754,7 @@ def e3_sliding_window(sf_dir: str):
             "event_type": agg["event_type"],
             "window_epoch": agg["window_epoch"].astype("int64"),
             "n_events": agg["s_n"].astype("int64"),
-            "sum_value": agg["s_val"].round(4),
+            "sum_value": agg["s_val"].round(2),
         }
     )
 

@@ -160,20 +160,37 @@ def hot_keys_for(path: str, key_col: str, threshold: int) -> dict[int, int]:
 # ---------------------------------------------------------------------------
 def q1_pricing_summary(sf_dir: str):
     """TPC-H-Q1-style pricing summary: filter → per-batch partial aggregate →
-    small final groupby (the partial/combiner pattern; ray_guide §agg)."""
+    small final groupby (the partial/combiner pattern; ray_guide §agg).
+
+    Money columns live on a 2-decimal grid, so the sums are carried as
+    EXACT int64 (price cents; discounted price in cents×100 = 1e-4
+    dollars): integer prefix sums are order-independent, which makes the
+    oracle compare bit-exact at ANY scale — a round(k) float contract is
+    one summation-order ulp away from a .xx5 boundary collision (observed
+    live at sf0.001 during round 5). Quantities are integer-valued, so
+    their float sums are exact as-is."""
+    import numpy as np
 
     cutoff = pd.Timestamp("1998-09-02")
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch[batch["l_shipdate"] <= cutoff]
+        base_c = np.round(
+            batch["l_extendedprice"].to_numpy(dtype="float64") * 100.0
+        ).astype("int64")
+        disc_c = np.round(
+            batch["l_discount"].to_numpy(dtype="float64") * 100.0
+        ).astype("int64")
         batch = batch.assign(
-            disc_price=batch["l_extendedprice"] * (1 - batch["l_discount"])
+            base_c=base_c,
+            disc_price_e4=base_c * (100 - disc_c),
+            disc_c=disc_c,
         )
         g = batch.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
             p_qty=("l_quantity", "sum"),
-            p_base=("l_extendedprice", "sum"),
-            p_disc_price=("disc_price", "sum"),
-            p_disc=("l_discount", "sum"),
+            p_base=("base_c", "sum"),
+            p_disc_price=("disc_price_e4", "sum"),
+            p_disc=("disc_c", "sum"),
             p_n=("l_quantity", "size"),
         )
         return g
@@ -200,9 +217,11 @@ def q1_pricing_summary(sf_dir: str):
             "l_returnflag": agg["l_returnflag"],
             "l_linestatus": agg["l_linestatus"],
             "sum_qty": agg["s_qty"].round(2),
-            "sum_base_price": agg["s_base"].round(2),
-            "sum_disc_price": agg["s_disc_price"].round(4),
-            "avg_disc": (agg["s_disc"] / agg["s_n"]).round(6),
+            "sum_base_price": agg["s_base"].astype("int64") / 100.0,
+            "sum_disc_price": agg["s_disc_price"].astype("int64") / 10000.0,
+            "avg_disc": (
+                (agg["s_disc"].astype("int64") / 100.0) / agg["s_n"]
+            ).round(6),
             "count_order": agg["s_n"].astype("int64"),
         }
     )
@@ -247,10 +266,16 @@ def q3_segment_revenue(sf_dir: str):
     seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
 
     def attach(batch: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         seg = ray.get(seg_ref)
         batch["c_mktsegment"] = batch["o_custkey"].map(seg)
+        # exact int64 cents (2-decimal grid): order-independent sums
+        batch["rev_c"] = np.round(
+            batch["o_totalprice"].to_numpy(dtype="float64") * 100.0
+        ).astype("int64")
         g = batch.groupby("c_mktsegment", as_index=False).agg(
-            p_rev=("o_totalprice", "sum"), p_n=("o_totalprice", "size")
+            p_rev=("rev_c", "sum"), p_n=("rev_c", "size")
         )
         return g
 
@@ -264,7 +289,7 @@ def q3_segment_revenue(sf_dir: str):
     return pd.DataFrame(
         {
             "c_mktsegment": agg["c_mktsegment"],
-            "total_revenue": agg["rev"].round(2),
+            "total_revenue": agg["rev"].astype("int64") / 100.0,
             "n_orders": agg["n"].astype("int64"),
         }
     )
@@ -304,14 +329,23 @@ def q4_priority_revenue(sf_dir: str, broadcast_max_build_rows: int = 2_000_000):
             lk = batch["l_orderkey"].to_numpy(np.int64)
             idx = np.clip(np.searchsorted(bkeys, lk), 0, len(bkeys) - 1)
             ok = bkeys[idx] == lk  # inner-join semantics
-            rev = (
-                batch["l_extendedprice"] * (1 - batch["l_discount"])
-            ).to_numpy(np.float64)[ok]
+            # exact 1e-4-dollar ints (the 2-decimal × 2-decimal grid);
+            # per-batch bincount totals stay < 2^53 so the float weights
+            # are exact, then re-integerized for the driver-side sum
+            base_c = np.round(
+                batch["l_extendedprice"].to_numpy(np.float64) * 100.0
+            ).astype(np.int64)
+            disc_c = np.round(
+                batch["l_discount"].to_numpy(np.float64) * 100.0
+            ).astype(np.int64)
+            rev = (base_c * (100 - disc_c)).astype(np.float64)[ok]
             code = bcodes[idx[ok]]
             return pd.DataFrame(
                 {
                     "code": np.arange(len(cats), dtype=np.int64),
-                    "p_rev": np.bincount(code, weights=rev, minlength=len(cats)),
+                    "p_rev": np.bincount(
+                        code, weights=rev, minlength=len(cats)
+                    ).astype("int64"),
                     "p_n": np.bincount(code, minlength=len(cats)).astype("int64"),
                 }
             )
@@ -328,15 +362,19 @@ def q4_priority_revenue(sf_dir: str, broadcast_max_build_rows: int = 2_000_000):
         return pd.DataFrame(
             {
                 "o_orderpriority": [cats[c] for c in agg["code"]],
-                "revenue": agg["rev"].round(4),
+                "revenue": agg["rev"].astype("int64") / 10000.0,
                 "n_items": agg["n"].astype("int64"),
             }
         ).reset_index(drop=True)
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.assign(
-            rev=batch["l_extendedprice"] * (1 - batch["l_discount"])
-        )
+        base_c = np.round(
+            batch["l_extendedprice"].to_numpy(np.float64) * 100.0
+        ).astype(np.int64)
+        disc_c = np.round(
+            batch["l_discount"].to_numpy(np.float64) * 100.0
+        ).astype(np.int64)
+        batch = batch.assign(rev=base_c * (100 - disc_c))
         return batch.groupby("o_orderpriority", as_index=False).agg(
             p_rev=("rev", "sum"), p_n=("rev", "size")
         )
@@ -365,7 +403,7 @@ def q4_priority_revenue(sf_dir: str, broadcast_max_build_rows: int = 2_000_000):
     return pd.DataFrame(
         {
             "o_orderpriority": agg["o_orderpriority"],
-            "revenue": agg["rev"].round(4),
+            "revenue": agg["rev"].astype("int64") / 10000.0,
             "n_items": agg["n"].astype("int64"),
         }
     )
@@ -381,10 +419,16 @@ def q5_region_acctbal(sf_dir: str):
     lookup_ref = ray.put({nk: r2name[rk] for nk, rk in n2r.items()})
 
     def attach(batch: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         lut = ray.get(lookup_ref)
         batch["r_name"] = batch["c_nationkey"].map(lut)
+        # exact int64 cents (2-decimal grid): order-independent sums
+        batch["bal_c"] = np.round(
+            batch["c_acctbal"].to_numpy(dtype="float64") * 100.0
+        ).astype("int64")
         return batch.groupby("r_name", as_index=False).agg(
-            p_bal=("c_acctbal", "sum"), p_n=("c_acctbal", "size")
+            p_bal=("bal_c", "sum"), p_n=("bal_c", "size")
         )
 
     agg = (
@@ -397,7 +441,7 @@ def q5_region_acctbal(sf_dir: str):
     return pd.DataFrame(
         {
             "r_name": agg["r_name"],
-            "total_acctbal": agg["bal"].round(2),
+            "total_acctbal": agg["bal"].astype("int64") / 100.0,
             "n_customers": agg["n"].astype("int64"),
         }
     )
@@ -422,14 +466,18 @@ def q6_forecast_revenue(sf_dir: str):
             ),
         )
         t = batch.filter(m)
-        rev = pc.sum(pc.multiply(t["l_extendedprice"], t["l_discount"])).as_py() or 0.0
-        return pa.table({"p_rev": pa.array([rev], pa.float64())})
+        # exact 1e-4-dollar int64 partials (2-decimal × 2-decimal grid):
+        # order-independent, so the oracle compare is bit-exact at any sf
+        base_c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        disc_c = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        rev = pc.sum(pc.multiply(base_c, disc_c)).as_py() or 0
+        return pa.table({"p_rev": pa.array([rev], pa.int64())})
 
     ds = _li(sf_dir, ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
     total = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536).sum(
         "p_rev"
     )
-    return pd.DataFrame({"revenue": [round(total, 4)]})
+    return pd.DataFrame({"revenue": [int(total) / 10000.0]})
 
 
 def q7_distinct_event_types(sf_dir: str):
@@ -477,7 +525,7 @@ def q8_hourly_events(sf_dir: str):
             "event_type": agg["event_type"],
             "hour_epoch": agg["hour_epoch"].astype("int64"),
             "n_events": agg["s_n"].astype("int64"),
-            "sum_value": agg["s_val"].round(4),
+            "sum_value": agg["s_val"].round(2),
         }
     )
 
@@ -526,7 +574,7 @@ def q11_value_extremes(sf_dir: str):
             "event_type": agg["event_type"],
             "min_value": agg["vmin"].round(6),
             "max_value": agg["vmax"].round(6),
-            "sum_value": agg["vsum"].round(4),
+            "sum_value": agg["vsum"].round(2),
             "n": agg["n"].astype("int64"),
         }
     )
