@@ -180,7 +180,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
                    count(*) AS n_events,
-                   round(sum(value), 2) AS sum_value
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) / 100.0 AS sum_value
             FROM events
             GROUP BY event_type, date_trunc('hour', ts)
         """,
@@ -189,7 +190,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) - 3600 * k.k
                        AS window_epoch,
                    count(*) AS n_events,
-                   round(sum(value), 2) AS sum_value
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) / 100.0 AS sum_value
             FROM events CROSS JOIN (VALUES (0), (1), (2)) AS k(k)
             GROUP BY 1, 2
         """,
@@ -205,19 +207,24 @@ def oracle_sql() -> dict[str, str]:
         "q10_above_avg_customers": """
             SELECT c_nationkey, count(*) AS n_above_avg
             FROM customer
-            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+            WHERE c_acctbal > (
+                SELECT (CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                             AS BIGINT) / 100.0) / count(*)
+                FROM customer)
             GROUP BY c_nationkey
         """,
         "q11_value_extremes": """
             SELECT event_type,
                    round(min(value), 6) AS min_value,
                    round(max(value), 6) AS max_value,
-                   round(sum(value), 2) AS sum_value,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) / 100.0 AS sum_value,
                    count(*) AS n
             FROM events GROUP BY event_type
         """,
         "e2_topk_users": """
-            SELECT user_id, round(sum(value), 2) AS total_value,
+            SELECT user_id, CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) / 100.0 AS total_value,
                    count(*) AS n_events
             FROM events GROUP BY user_id
             ORDER BY sum(value) DESC, user_id
@@ -290,12 +297,14 @@ def oracle_sql() -> dict[str, str]:
             FROM picked, b
         """,
         "q15_above_customer_avg": """
-            SELECT o_orderkey, o_custkey, o_totalprice
-            FROM orders o
-            WHERE o_totalprice > (
-                SELECT avg(o2.o_totalprice) FROM orders o2
-                WHERE o2.o_custkey = o.o_custkey
-            )
+            SELECT o_orderkey, o_custkey, o_totalprice FROM (
+                SELECT o_orderkey, o_custkey, o_totalprice,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS p_c,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           OVER (PARTITION BY o_custkey) AS s_c,
+                       count(*) OVER (PARTITION BY o_custkey) AS n
+                FROM orders)
+            WHERE p_c * n > s_c
             ORDER BY o_orderkey
         """,
         "q16_order_date_lag": """
@@ -314,7 +323,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q17_rollup_revenue": """
             SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
-                   round(sum(o_totalprice), 2) AS revenue,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) / 100.0 AS revenue,
                    count(*) AS n_orders
             FROM orders
             GROUP BY ROLLUP(o_orderpriority)
@@ -426,7 +436,8 @@ def oracle_sql() -> dict[str, str]:
         "q19_left_join_order_counts": """
             SELECT c.c_custkey,
                    count(o.o_orderkey) AS n_orders,
-                   round(COALESCE(sum(o.o_totalprice), 0.0), 2) AS total_spent
+                   COALESCE(CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                                 AS BIGINT), 0) / 100.0 AS total_spent
             FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
             GROUP BY c.c_custkey
             ORDER BY c.c_custkey

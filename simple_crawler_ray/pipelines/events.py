@@ -42,10 +42,22 @@ def e2_topk_users(sf_dir: str):
             ["total", "user_id"], ascending=[False, True]
         ).head(k)
 
+    def add_cents(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        # exact int64 cents (value sits on a 2-decimal grid): the per-user
+        # totals — and therefore the top-k SELECTION itself — are
+        # order-independent and bit-exact vs the oracle at any scale
+        return t.append_column(
+            "val_c", pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        )
+
     parts = (
         read_clean(f"{sf_dir}/events.parquet", ["user_id", "value"])
+        .map_batches(add_cents, batch_format="pyarrow")
         .groupby("user_id")
-        .aggregate(Sum("value", alias_name="total"), Count(alias_name="n"))
+        .aggregate(Sum("val_c", alias_name="total"), Count(alias_name="n"))
         .map_batches(partial, batch_format="pandas")
         .to_pandas()
     )
@@ -57,7 +69,7 @@ def e2_topk_users(sf_dir: str):
     return pd.DataFrame(
         {
             "user_id": agg["user_id"].astype("int64"),
-            "total_value": agg["total"].round(2),
+            "total_value": agg["total"].astype("int64") / 100.0,
             "n_events": agg["n"].astype("int64"),
         }
     )
@@ -729,14 +741,18 @@ def e3_sliding_window(sf_dir: str):
         window = np.repeat(hour, 3) - np.tile(
             np.array([0, 3600, 7200], dtype=np.int64), n
         )
+        # exact int64 cents (2-decimal grid): order-independent sums
+        val_c = np.round(batch["value"].to_numpy(dtype="float64") * 100.0).astype(
+            "int64"
+        )
         return pd.DataFrame(
             {
                 "window_epoch": window,
                 "event_type": batch["event_type"].to_numpy().repeat(3),
-                "value": batch["value"].to_numpy().repeat(3),
+                "val_c": val_c.repeat(3),
             }
         ).groupby(["event_type", "window_epoch"], as_index=False).agg(
-            p_n=("value", "size"), p_val=("value", "sum")
+            p_n=("val_c", "size"), p_val=("val_c", "sum")
         )
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
@@ -754,7 +770,7 @@ def e3_sliding_window(sf_dir: str):
             "event_type": agg["event_type"],
             "window_epoch": agg["window_epoch"].astype("int64"),
             "n_events": agg["s_n"].astype("int64"),
-            "sum_value": agg["s_val"].round(2),
+            "sum_value": agg["s_val"].astype("int64") / 100.0,
         }
     )
 

@@ -499,8 +499,15 @@ def q8_hourly_events(sf_dir: str):
                 batch["ts"].dt.floor("h").astype("datetime64[s]").astype("int64")
             )
         )
+        import numpy as np
+
+        # exact int64 cents (the value column is on a 2-decimal grid):
+        # order-independent sums, bit-exact vs the oracle at any scale
+        batch["val_c"] = np.round(
+            batch["value"].to_numpy(dtype="float64") * 100.0
+        ).astype("int64")
         return batch.groupby(["event_type", "hour_epoch"], as_index=False).agg(
-            p_n=("value", "size"), p_val=("value", "sum")
+            p_n=("val_c", "size"), p_val=("val_c", "sum")
         )
 
     # partial per batch, then the final merge as a hash-partitioned Ray
@@ -525,7 +532,7 @@ def q8_hourly_events(sf_dir: str):
             "event_type": agg["event_type"],
             "hour_epoch": agg["hour_epoch"].astype("int64"),
             "n_events": agg["s_n"].astype("int64"),
-            "sum_value": agg["s_val"].round(2),
+            "sum_value": agg["s_val"].astype("int64") / 100.0,
         }
     )
 
@@ -535,7 +542,27 @@ def q10_above_avg_customers(sf_dir: str):
     result), broadcast into a vectorized filter, then grouped count —
     the two-phase shape that replaces correlated subqueries at scale."""
     ds = read_clean(f"{sf_dir}/customer.parquet", ["c_nationkey", "c_acctbal"])
-    avg_bal = ds.mean("c_acctbal")
+    # the threshold itself must be bit-identical in both engines or a
+    # customer sitting exactly at the boundary flips the row set: exact
+    # int64-cents sum → one division sequence mirrored in the oracle SQL
+    stats = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "bal_c": [
+                    pc.sum(
+                        pc.cast(
+                            pc.round(pc.multiply(t["c_acctbal"], 100.0)),
+                            pa.int64(),
+                        )
+                    ).as_py()
+                    or 0
+                ],
+                "n": [t.num_rows],
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    avg_bal = (int(stats["bal_c"].sum()) / 100.0) / int(stats["n"].sum())
 
     def over_avg(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.greater(batch["c_acctbal"], pa.scalar(avg_bal)))
@@ -555,16 +582,25 @@ def q10_above_avg_customers(sf_dir: str):
 
 
 def q11_value_extremes(sf_dir: str):
-    """Min/Max/Sum/Count grouped aggregates over the events stream."""
+    """Min/Max/Sum/Count grouped aggregates over the events stream.
+    Min/max are order-independent by nature; the sum rides as exact
+    int64 cents (2-decimal grid) so it is too."""
     from ray.data.aggregate import Max, Min
+
+    def add_cents(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "val_c",
+            pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64()),
+        )
 
     agg = (
         read_clean(f"{sf_dir}/events.parquet", ["event_type", "value"])
+        .map_batches(add_cents, batch_format="pyarrow")
         .groupby("event_type")
         .aggregate(
             Min("value", alias_name="vmin"),
             Max("value", alias_name="vmax"),
-            Sum("value", alias_name="vsum"),
+            Sum("val_c", alias_name="vsum"),
             Count(alias_name="n"),
         )
         .to_pandas()
@@ -574,7 +610,7 @@ def q11_value_extremes(sf_dir: str):
             "event_type": agg["event_type"],
             "min_value": agg["vmin"].round(6),
             "max_value": agg["vmax"].round(6),
-            "sum_value": agg["vsum"].round(2),
+            "sum_value": agg["vsum"].astype("int64") / 100.0,
             "n": agg["n"].astype("int64"),
         }
     )
@@ -802,8 +838,18 @@ def q15_above_customer_avg(sf_dir: str, hot_threshold: int = _Q15_HOT_ROWS):
     import numpy as np
 
     def final(d: pd.DataFrame) -> pd.DataFrame:
-        avg = d.groupby("o_custkey")["o_totalprice"].transform("mean")
-        keep = d[d["o_totalprice"] > avg]
+        # price > group mean ⟺ price_cents × n > sum_cents: pure int64
+        # arithmetic on the 2-decimal grid — no float mean, so the
+        # boundary row set is identical in both engines at any scale
+        price_c = np.round(
+            d["o_totalprice"].to_numpy(dtype="float64") * 100.0
+        ).astype("int64")
+        d = d.assign(price_c=price_c)
+        grp = d.groupby("o_custkey")["price_c"]
+        keep = d[
+            price_c * grp.transform("size").to_numpy()
+            > grp.transform("sum").to_numpy()
+        ]
         return pd.DataFrame(
             {
                 "o_orderkey": keep["o_orderkey"].astype("int64"),
@@ -827,8 +873,14 @@ def q15_above_customer_avg(sf_dir: str, hot_threshold: int = _Q15_HOT_ROWS):
     # --- salted route (orders read twice → materialize once) -----------
     orders = orders.materialize()
     def mean_partial(b: pd.DataFrame) -> pd.DataFrame:
+        # exact int64 cents (see the cold route's integer comparison)
+        b = b.assign(
+            price_c=np.round(
+                b["o_totalprice"].to_numpy(dtype="float64") * 100.0
+            ).astype("int64")
+        )
         g = b.groupby("o_custkey", as_index=False).agg(
-            p_sum=("o_totalprice", "sum"), p_n=("o_totalprice", "size")
+            p_sum=("price_c", "sum"), p_n=("price_c", "size")
         )
         return g
 
@@ -845,7 +897,9 @@ def q15_above_customer_avg(sf_dir: str, hot_threshold: int = _Q15_HOT_ROWS):
                         "salt": np.int64(salt),
                         "side": np.int8(1),
                         "o_orderkey": np.int64(-1),
-                        "o_totalprice": (g["s"] / g["n"]).astype("float64"),
+                        "o_totalprice": np.float64(0.0),
+                        "sum_c": g["s"].astype("int64"),
+                        "grp_n": g["n"].astype("int64"),
                     }
                 )
             )
@@ -865,19 +919,24 @@ def q15_above_customer_avg(sf_dir: str, hot_threshold: int = _Q15_HOT_ROWS):
                 "side": np.int8(0),
                 "o_orderkey": b["o_orderkey"].astype("int64"),
                 "o_totalprice": b["o_totalprice"].astype("float64"),
+                "sum_c": np.int64(0),
+                "grp_n": np.int64(0),
             }
         )
 
     def salted_final(d: pd.DataFrame) -> pd.DataFrame:
         # several salts of one custkey can hash into the same partition —
-        # their mean rows are identical, dedup before the index lookup
-        m = (
-            d[d["side"] == 1]
-            .drop_duplicates("o_custkey")
-            .set_index("o_custkey")["o_totalprice"]
+        # their stat rows are identical, dedup before the index lookup
+        stats = d[d["side"] == 1].drop_duplicates("o_custkey").set_index(
+            "o_custkey"
         )
         rows = d[d["side"] == 0]
-        keep = rows[rows["o_totalprice"] > rows["o_custkey"].map(m)]
+        price_c = np.round(
+            rows["o_totalprice"].to_numpy(dtype="float64") * 100.0
+        ).astype("int64")
+        sum_c = rows["o_custkey"].map(stats["sum_c"]).to_numpy(dtype="int64")
+        grp_n = rows["o_custkey"].map(stats["grp_n"]).to_numpy(dtype="int64")
+        keep = rows[price_c * grp_n > sum_c]
         return pd.DataFrame(
             {
                 "o_orderkey": keep["o_orderkey"].astype("int64"),
@@ -1059,8 +1118,14 @@ def q17_rollup_revenue(sf_dir: str):
     level by level over the (small) aggregated table."""
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        # exact int64 cents (2-decimal grid): order-independent sums
+        batch["rev_c"] = np.round(
+            batch["o_totalprice"].to_numpy(dtype="float64") * 100.0
+        ).astype("int64")
         return batch.groupby("o_orderpriority", as_index=False).agg(
-            p_rev=("o_totalprice", "sum"), p_n=("o_totalprice", "size")
+            p_rev=("rev_c", "sum"), p_n=("rev_c", "size")
         )
 
     agg = (
@@ -1075,14 +1140,14 @@ def q17_rollup_revenue(sf_dir: str):
     per_level = pd.DataFrame(
         {
             "o_orderpriority": agg["o_orderpriority"],
-            "revenue": agg["rev"].round(2),
+            "revenue": agg["rev"].astype("int64") / 100.0,
             "n_orders": agg["n"].astype("int64"),
         }
     )
     total = pd.DataFrame(
         {
             "o_orderpriority": ["ALL"],
-            "revenue": [round(float(agg["rev"].sum()), 2)],
+            "revenue": [int(agg["rev"].sum()) / 100.0],
             "n_orders": [int(agg["n"].sum())],
         }
     )
@@ -1158,8 +1223,14 @@ def q19_left_join_order_counts(sf_dir: str):
         )
 
     def order_side(batch: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        # exact int64 cents (2-decimal grid): order-independent sums
+        batch["total_c"] = np.round(
+            batch["o_totalprice"].to_numpy(dtype="float64") * 100.0
+        ).astype("int64")
         g = batch.groupby("o_custkey", as_index=False).agg(
-            p_n=("o_totalprice", "size"), p_total=("o_totalprice", "sum")
+            p_n=("total_c", "size"), p_total=("total_c", "sum")
         )
         return pd.DataFrame(
             {
@@ -1189,7 +1260,8 @@ def q19_left_join_order_counts(sf_dir: str):
             {
                 "c_custkey": m["key"].astype("int64"),
                 "n_orders": m["n"].fillna(0).astype("int64"),
-                "total_spent": m["total"].fillna(0.0).round(2),
+                # cents (exact ints riding in float64, each < 2^53) → dollars
+                "total_spent": m["total"].fillna(0.0) / 100.0,
             }
         )
 
