@@ -1265,10 +1265,9 @@ def q19_left_join_order_counts(sf_dir: str):
             }
         )
 
-    out = partitioned_group_agg(
-        cust.union(orders), keys=["key"], final=left_merge
-    ).to_pandas()
-    return out.sort_values("c_custkey").reset_index(drop=True)
+    # O(customers)-sized output: return the LAZY Dataset (d1/q15/q16
+    # precedent) — the consumer collects or streams; no driver-side sort
+    return partitioned_group_agg(cust.union(orders), keys=["key"], final=left_merge)
 
 
 def q20_running_revenue(sf_dir: str, hot_threshold: int = _Q15_HOT_ROWS):
