@@ -322,6 +322,7 @@ def run_bench(sf_dir: str, num_cpus: int, crawl_only: bool = False) -> dict:
             "q12b_approx_quantiles",
             "q13_customers_without_orders",
             "q14_grouped_quantiles",
+            "q14b_grouped_approx_quantiles",
             "q15_above_customer_avg",
             "q16_order_date_lag",
             "q18_pivot_hourly",

@@ -51,6 +51,7 @@ __all__ = [
     "q12b_approx_quantiles",
     "q13_customers_without_orders",
     "q14_grouped_quantiles",
+    "q14b_grouped_approx_quantiles",
     "q15_above_customer_avg",
 ]
 
@@ -1488,3 +1489,70 @@ def q12b_approx_quantiles(sf_dir: str, n_bins: int = 256):
             "n_orders": [n],
         }
     )
+
+
+def q14b_grouped_approx_quantiles(sf_dir: str, n_bins: int = 256):
+    """APPROXIMATE quantiles PER GROUP via mergeable equi-width
+    histograms — the grouped form of q12b, and the state shape the
+    grouped-quantile problem actually wants at 100 TB: q14's exact path
+    carries O(groups × distinct values) rows, this carries EXACTLY
+    groups × n_bins int64 counts no matter how many rows stream by
+    (per-batch ``bincount`` per group, merged by addition in a
+    group-keyed combine; the final cumulative-rank read-off happens on
+    the tiny groups × bins table). Bin edges are GLOBAL (one min/max
+    pass), so every group's sketch is mergeable with every other's —
+    the property a re-partition or late-arriving shard needs.
+
+    Like q12b, the bin-edge estimate is integer-rank arithmetic plus one
+    float multiply-add evaluated identically by numpy and DuckDB, so the
+    op is oracle-paired despite being approximate; error ≤ one bin width
+    per group (gated against exact q14 in tests)."""
+    import numpy as np
+
+    from ray.data.aggregate import Max, Min
+
+    col = read_clean(
+        f"{sf_dir}/orders.parquet", ["o_orderpriority", "o_totalprice"]
+    )
+    stats = col.aggregate(Min("o_totalprice"), Max("o_totalprice"))
+    mn = float(stats["min(o_totalprice)"])
+    mx = float(stats["max(o_totalprice)"])
+    w = (mx - mn) / n_bins
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch["o_totalprice"].to_numpy(dtype="float64")
+        idx = np.minimum(((v - mn) / w).astype("int64"), n_bins - 1)
+        g = pd.DataFrame(
+            {"o_orderpriority": batch["o_orderpriority"], "bin": idx, "c": 1}
+        ).groupby(["o_orderpriority", "bin"], as_index=False)["c"].sum()
+        return g.astype({"bin": "int64", "c": "int64"})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["o_orderpriority", "bin"], as_index=False)["c"].sum()
+
+    hist = (
+        partitioned_group_agg(
+            col.map_batches(partial, batch_format="pandas", batch_size=65536),
+            ["o_orderpriority"],  # group-keyed: each group's sketch lands whole
+            combine,
+        )
+        .to_pandas()
+        .sort_values(["o_orderpriority", "bin"])
+        .reset_index(drop=True)
+    )
+
+    rows = []
+    for prio, gh in hist.groupby("o_orderpriority", sort=True):
+        cum = gh["c"].cumsum().to_numpy()
+        bins = gh["bin"].to_numpy()
+        n = int(cum[-1])
+
+        def q_edge(q: float) -> float:
+            rank = max(1, int(np.ceil(q * n)))
+            k = int(bins[int(np.searchsorted(cum, rank, side="left"))])
+            return mn + k * w
+
+        rows.append((prio, q_edge(0.5), q_edge(0.9), n))
+    return pd.DataFrame(
+        rows, columns=["o_orderpriority", "p50", "p90", "n_orders"]
+    ).astype({"n_orders": "int64"})

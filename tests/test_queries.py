@@ -533,3 +533,31 @@ def test_q12b_within_one_bin_of_exact(ray_session):
         assert approx[p] <= exact[p] + 1e-9, (p, approx[p], exact[p])
         assert exact[p] - approx[p] <= w + 1e-9, (p, approx[p], exact[p], w)
     assert int(approx["n_orders"]) == int(exact["n_orders"])
+
+
+def test_q14b_within_one_bin_of_exact_per_group(ray_session):
+    """Each group's histogram estimate is the lower edge of the bin
+    holding that group's target rank — within one (global) bin width
+    below-or-at the group's exact quantile."""
+    from simple_crawler_ray.pipelines.relational import (
+        q14_grouped_quantiles,
+        q14b_grouped_approx_quantiles,
+    )
+
+    exact = q14_grouped_quantiles(SF_DIR).set_index("o_orderpriority")
+    approx = q14b_grouped_approx_quantiles(SF_DIR, n_bins=256).set_index(
+        "o_orderpriority"
+    )
+    import pyarrow.parquet as pq
+
+    col = pq.read_table(
+        f"{SF_DIR}/orders.parquet", columns=["o_totalprice"]
+    )["o_totalprice"].to_numpy()
+    w = (col.max() - col.min()) / 256
+    assert set(approx.index) == set(exact.index)
+    for prio in exact.index:
+        for p in ("p50", "p90"):
+            a, e = approx.loc[prio, p], exact.loc[prio, p]
+            assert a <= e + 1e-9, (prio, p, a, e)
+            assert e - a <= w + 1e-9, (prio, p, a, e, w)
+        assert int(approx.loc[prio, "n_orders"]) == int(exact.loc[prio, "n_orders"])
